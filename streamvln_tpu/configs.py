@@ -1,0 +1,150 @@
+"""Model / runtime configuration dataclasses and presets.
+
+Shapes follow the reference stack: SigLIP-so400m-patch14-384
+(reference: llava/model/multimodal_encoder/siglip_encoder.py:70-101) and
+Qwen2-7B (HF `Qwen/Qwen2-7B-Instruct` config, used via
+lmms-lab/LLaVA-Video-7B-Qwen2; reference: scripts/streamvln_train_slurm.sh:15,25).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SigLIPConfig:
+    """SigLIP vision tower config.
+
+    The reference drops the final encoder layer and the pooling head
+    (siglip_encoder.py:570-571) and takes the pre-post-layernorm hidden state
+    of the remaining stack (siglip_encoder.py:586) — so `num_layers` here is
+    the number of layers actually run (26 for so400m-27L).
+    """
+    hidden_size: int = 1152
+    intermediate_size: int = 4304
+    num_layers: int = 26          # 27 in the checkpoint, last one dropped
+    num_heads: int = 16
+    image_size: int = 384
+    patch_size: int = 14
+    layer_norm_eps: float = 1e-6
+    # gelu_pytorch_tanh in the reference; we use jax.nn.gelu(approximate=True)
+
+    @property
+    def patches_per_side(self) -> int:
+        return self.image_size // self.patch_size  # 27
+
+    @property
+    def num_patches(self) -> int:
+        return self.patches_per_side ** 2  # 729
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads  # 72
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen2Config:
+    """Qwen2 decoder config (RMSNorm + RoPE + GQA + SwiGLU)."""
+    vocab_size: int = 152064
+    hidden_size: int = 3584
+    intermediate_size: int = 18944
+    num_layers: int = 28
+    num_heads: int = 28
+    num_kv_heads: int = 4
+    head_dim: int = 128
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    max_position_embeddings: int = 32768
+    tie_word_embeddings: bool = False
+    attn_logits_soft_cap: Optional[float] = None
+    # qkv projections carry bias in Qwen2; o/gate/up/down do not.
+    qkv_bias: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamVLNConfig:
+    """Full multimodal stack + streaming parameters."""
+    vision: SigLIPConfig = dataclasses.field(default_factory=SigLIPConfig)
+    llm: Qwen2Config = dataclasses.field(default_factory=Qwen2Config)
+    # mm projector: mlp2x_gelu 1152 -> 3584 (reference:
+    # llava/model/multimodal_projector/builder.py:32-65, mm_projector_type).
+    projector_type: str = "mlp2x_gelu"
+    # 2x2 spatial pooling mode for frame tokens, 729 -> 196
+    # (reference: stream_video_vln.py:53-73, mm_spatial_pool_mode).
+    spatial_pool_mode: str = "bilinear"
+    spatial_pool_stride: int = 2
+    # streaming window parameters (reference defaults:
+    # streamvln_eval.py:497-500).
+    num_frames: int = 32          # sliding window length in env steps
+    num_future_steps: int = 4     # actions emitted per model call
+    num_history: int = 8          # pooled history frames in slow memory
+
+    @property
+    def tokens_per_frame(self) -> int:
+        side = -(-self.vision.patches_per_side // self.spatial_pool_stride)
+        return side * side  # ceil(27/2)^2 = 196
+
+    @property
+    def memory_tokens(self) -> int:
+        return self.num_history * self.tokens_per_frame  # 1568
+
+
+# ---------------------------------------------------------------------------
+# Presets
+# ---------------------------------------------------------------------------
+
+def qwen2_7b() -> Qwen2Config:
+    return Qwen2Config()
+
+
+def qwen2_1_5b() -> Qwen2Config:
+    return Qwen2Config(
+        vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+        num_layers=28, num_heads=12, num_kv_heads=2, head_dim=128,
+        tie_word_embeddings=True)
+
+
+def qwen2_0_5b() -> Qwen2Config:
+    return Qwen2Config(
+        vocab_size=151936, hidden_size=896, intermediate_size=4864,
+        num_layers=24, num_heads=14, num_kv_heads=2, head_dim=64,
+        tie_word_embeddings=True)
+
+
+def siglip_so400m() -> SigLIPConfig:
+    return SigLIPConfig()
+
+
+def streamvln_7b() -> StreamVLNConfig:
+    return StreamVLNConfig(vision=siglip_so400m(), llm=qwen2_7b())
+
+
+def tiny_vision(image_size: int = 56, patch_size: int = 14) -> SigLIPConfig:
+    """Small vision tower for tests: 4x4 = 16 patches."""
+    return SigLIPConfig(
+        hidden_size=32, intermediate_size=64, num_layers=2, num_heads=4,
+        image_size=image_size, patch_size=patch_size)
+
+
+def tiny_llm(vocab_size: int = 512) -> Qwen2Config:
+    return Qwen2Config(
+        vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+        rope_theta=10000.0, max_position_embeddings=2048)
+
+
+def tiny_streamvln(vocab_size: int = 512) -> StreamVLNConfig:
+    """End-to-end tiny stack: 16 patches -> 2x2 pool -> 4 tokens/frame."""
+    return StreamVLNConfig(
+        vision=tiny_vision(), llm=tiny_llm(vocab_size),
+        num_frames=8, num_future_steps=2, num_history=2)
+
+
+DTYPE_MAP = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "fp32": jnp.float32,
+    "bf16": jnp.bfloat16,
+}

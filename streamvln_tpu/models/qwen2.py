@@ -1,0 +1,269 @@
+"""Qwen2 decoder (RMSNorm + RoPE + GQA + SwiGLU), TPU-first functional JAX.
+
+Design notes (vs the reference's HF Qwen2ForCausalLM,
+reference: streamvln/model/stream_video_vln.py:32-48):
+
+- Parameters are a pytree of arrays with the per-layer weights STACKED on a
+  leading [L] axis, and the layer stack is executed with `lax.scan`. This
+  gives one traced/compiled block for all 28 layers (fast compiles, clean
+  remat boundaries, and a natural unit for FSDP sharding annotations).
+- KV cache is a fixed-capacity HBM buffer with per-row lengths, appended to
+  with dynamic-slice writes. Prefill and decode are the same code path
+  (decode is a prefill of S=1); causality comes from global positions, which
+  reproduces HF's attention-mask-cumsum position ids for the unpadded
+  bs-per-env=1 streaming case (reference: stream_video_vln.py:435-443).
+- Attention dispatches through ops.attention (dense XLA reference or Pallas
+  flash kernel).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from streamvln_tpu.configs import Qwen2Config
+from streamvln_tpu.ops.attention import dense_attention, mha_attention
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * scale.astype(jnp.float32)).astype(dtype)
+
+
+def rope_frequencies(head_dim: int, theta: float) -> jax.Array:
+    """Inverse frequencies, [head_dim // 2]."""
+    exponents = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
+    return 1.0 / (theta ** exponents)
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding, HF 'half-rotation' layout.
+
+    x: [B, S, H, D]; positions: [B, S] int32. The first D/2 dims pair with
+    the second D/2 (rotate_half), matching HF Qwen2 so converted checkpoints
+    are bit-compatible.
+    """
+    B, S, H, D = x.shape
+    inv_freq = rope_frequencies(D, theta)                    # [D/2]
+    angles = positions.astype(jnp.float32)[:, :, None] * inv_freq[None, None]
+    cos = jnp.cos(angles)[:, :, None, :]                     # [B, S, 1, D/2]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def swiglu(x: jax.Array, gate_w, up_w, down_w) -> jax.Array:
+    gate = jnp.dot(x, gate_w, preferred_element_type=jnp.float32)
+    up = jnp.dot(x, up_w, preferred_element_type=jnp.float32)
+    act = jax.nn.silu(gate) * up
+    return jnp.dot(act.astype(x.dtype), down_w,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Fixed-capacity per-layer KV buffers with per-row fill lengths.
+
+    k, v: [L, B, Smax, Hkv, D]; length: [B] int32 (tokens currently cached).
+    """
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array
+
+    @classmethod
+    def create(cls, cfg: Qwen2Config, batch: int, capacity: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_layers, batch, capacity, cfg.num_kv_heads,
+                 cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   length=jnp.zeros((batch,), jnp.int32))
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[2]
+
+    def reset_rows(self, row_mask: jax.Array) -> "KVCache":
+        """Zero the lengths of selected rows (cheap window reset — stale KV
+        is never attended because key validity is pos < length)."""
+        return KVCache(self.k, self.v,
+                       jnp.where(row_mask, 0, self.length))
+
+
+def _append_rows(buf: jax.Array, new: jax.Array,
+                 offsets: jax.Array) -> jax.Array:
+    """buf: [B, Smax, H, D]; new: [B, S, H, D]; offsets: [B]."""
+    def one(row, n, off):
+        return jax.lax.dynamic_update_slice(row, n, (off, 0, 0))
+    return jax.vmap(one)(buf, new, offsets)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init(rng: jax.Array, cfg: Qwen2Config,
+         dtype=jnp.float32) -> Params:
+    """Random-init parameter pytree (layer weights stacked on axis 0)."""
+    keys = jax.random.split(rng, 16)
+    L, Dm, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    Hq, Hkv, Dh, V = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, \
+        cfg.vocab_size
+
+    def dense(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32)
+                * (fan_in ** -0.5)).astype(dtype)
+
+    params = {
+        "embed": dense(keys[0], (V, Dm), Dm),
+        "layers": {
+            "ln1": jnp.ones((L, Dm), dtype),
+            "q_w": dense(keys[1], (L, Dm, Hq * Dh), Dm),
+            "q_b": jnp.zeros((L, Hq * Dh), dtype),
+            "k_w": dense(keys[2], (L, Dm, Hkv * Dh), Dm),
+            "k_b": jnp.zeros((L, Hkv * Dh), dtype),
+            "v_w": dense(keys[3], (L, Dm, Hkv * Dh), Dm),
+            "v_b": jnp.zeros((L, Hkv * Dh), dtype),
+            "o_w": dense(keys[4], (L, Hq * Dh, Dm), Hq * Dh),
+            "ln2": jnp.ones((L, Dm), dtype),
+            "gate_w": dense(keys[5], (L, Dm, F), Dm),
+            "up_w": dense(keys[6], (L, Dm, F), Dm),
+            "down_w": dense(keys[7], (L, F, Dm), F),
+        },
+        "final_norm": jnp.ones((Dm,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(keys[8], (Dm, V), Dm)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layer_step(cfg: Qwen2Config, attn_impl: str,
+                carry, layer_params,
+                positions, mask, cache_kv=None, cache_offsets=None):
+    """One decoder block. carry = hidden states [B, S, Dm]."""
+    x = carry
+    p = layer_params
+    B, S, Dm = x.shape
+    Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    h = rms_norm(x, p["ln1"], cfg.rms_norm_eps)
+    q = (jnp.dot(h, p["q_w"], preferred_element_type=jnp.float32)
+         + p["q_b"].astype(jnp.float32)).astype(x.dtype)
+    k = (jnp.dot(h, p["k_w"], preferred_element_type=jnp.float32)
+         + p["k_b"].astype(jnp.float32)).astype(x.dtype)
+    v = (jnp.dot(h, p["v_w"], preferred_element_type=jnp.float32)
+         + p["v_b"].astype(jnp.float32)).astype(x.dtype)
+    q = q.reshape(B, S, Hq, Dh)
+    k = k.reshape(B, S, Hkv, Dh)
+    v = v.reshape(B, S, Hkv, Dh)
+
+    q = apply_rope(q, positions, cfg.rope_theta)
+    k = apply_rope(k, positions, cfg.rope_theta)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = _append_rows(ck, k, cache_offsets)   # [B, Smax, Hkv, Dh]
+        cv = _append_rows(cv, v, cache_offsets)
+        attn = mha_attention(q, ck, cv, mask=mask, impl=attn_impl,
+                             logits_soft_cap=cfg.attn_logits_soft_cap)
+        new_cache = (ck, cv)
+    else:
+        attn = mha_attention(q, k, v, mask=mask, impl=attn_impl,
+                             logits_soft_cap=cfg.attn_logits_soft_cap)
+        new_cache = None
+
+    attn = attn.reshape(B, S, Hq * Dh)
+    attn_out = jnp.dot(attn, p["o_w"],
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + attn_out
+
+    h = rms_norm(x, p["ln2"], cfg.rms_norm_eps)
+    x = x + swiglu(h, p["gate_w"], p["up_w"], p["down_w"])
+    return x, new_cache
+
+
+def forward(
+    params: Params,
+    cfg: Qwen2Config,
+    inputs_embeds: jax.Array,              # [B, S, Dm]
+    positions: jax.Array,                  # [B, S] global positions
+    cache: Optional[KVCache] = None,
+    new_lengths: Optional[jax.Array] = None,  # [B] real (unpadded) new tokens
+    attn_mask: Optional[jax.Array] = None,    # [B, Sq, Sk]; default causal
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Run the decoder stack. Returns (logits [B, S, V], updated cache).
+
+    With a cache: K/V of this call are appended at each row's `length`
+    offset; attention spans the whole cache buffer, masked causally by
+    global position (key j visible to query i iff j <= pos_i).
+    """
+    B, S, Dm = inputs_embeds.shape
+    x = inputs_embeds
+
+    if cache is not None:
+        if new_lengths is None:
+            new_lengths = jnp.full((B,), S, jnp.int32)
+        key_pos = jnp.arange(cache.capacity, dtype=jnp.int32)
+        if attn_mask is None:
+            attn_mask = key_pos[None, None, :] <= positions[:, :, None]
+        offsets = cache.length
+
+        def step(carry, xs):
+            x = carry
+            lp, ck, cv = xs
+            x, (nk, nv) = _layer_step(
+                cfg, attn_impl, x, lp, positions, attn_mask,
+                cache_kv=(ck, cv), cache_offsets=offsets)
+            return x, (nk, nv)
+
+        step_fn = jax.checkpoint(step) if remat else step
+        x, (new_k, new_v) = jax.lax.scan(
+            step_fn, x, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(new_k, new_v, cache.length + new_lengths)
+    else:
+        if attn_mask is None:
+            attn_mask = (positions[:, None, :] <= positions[:, :, None])
+        def step(carry, lp):
+            x, _ = _layer_step(cfg, attn_impl, carry, lp, positions, attn_mask)
+            return x, None
+
+        step_fn = jax.checkpoint(step) if remat else step
+        x, _ = jax.lax.scan(step_fn, x, params["layers"])
+        new_cache = None
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    return logits, new_cache
+
+
+def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
+    """Token embedding lookup; sentinel/negative ids map to zeros."""
+    safe = jnp.maximum(input_ids, 0)
+    emb = jnp.take(params["embed"], safe, axis=0)
+    return jnp.where((input_ids >= 0)[..., None], emb, 0)

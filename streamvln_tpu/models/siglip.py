@@ -1,0 +1,115 @@
+"""SigLIP vision tower (so400m-patch14-384), functional JAX.
+
+Behavioral parity with the reference tower
+(reference: llava/model/multimodal_encoder/siglip_encoder.py):
+- patch embed = 14x14 valid conv + learned position embeddings (729 pos)
+- pre-LN transformer blocks, gelu-tanh MLP
+- the checkpoint's LAST encoder layer and pooling head are dropped
+  (siglip_encoder.py:570-571); features are the remaining stack's output
+  WITHOUT the final post_layernorm (forward takes hidden_states[-1],
+  siglip_encoder.py:586), always 729 patch tokens.
+
+TPU notes: the patch conv is expressed as a reshape + single [B*729, 588]
+x [588, 1152] matmul (maps straight onto the MXU; XLA fuses the bias).
+Layers are stacked and scanned like the LLM.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from streamvln_tpu.configs import SigLIPConfig
+from streamvln_tpu.ops.attention import mha_attention
+
+Params = dict
+
+
+def layer_norm(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (normed * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def init(rng: jax.Array, cfg: SigLIPConfig, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(rng, 12)
+    L, D, F, H = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size, \
+        cfg.num_heads
+    P = cfg.patch_size
+    N = cfg.num_patches
+
+    def dense(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32)
+                * (fan_in ** -0.5)).astype(dtype)
+
+    return {
+        "patch_w": dense(keys[0], (P * P * 3, D), P * P * 3),
+        "patch_b": jnp.zeros((D,), dtype),
+        "pos_embed": dense(keys[1], (N, D), D),
+        "layers": {
+            "ln1_s": jnp.ones((L, D), dtype),
+            "ln1_b": jnp.zeros((L, D), dtype),
+            "q_w": dense(keys[2], (L, D, D), D),
+            "q_b": jnp.zeros((L, D), dtype),
+            "k_w": dense(keys[3], (L, D, D), D),
+            "k_b": jnp.zeros((L, D), dtype),
+            "v_w": dense(keys[4], (L, D, D), D),
+            "v_b": jnp.zeros((L, D), dtype),
+            "o_w": dense(keys[5], (L, D, D), D),
+            "o_b": jnp.zeros((L, D), dtype),
+            "ln2_s": jnp.ones((L, D), dtype),
+            "ln2_b": jnp.zeros((L, D), dtype),
+            "fc1_w": dense(keys[6], (L, D, F), D),
+            "fc1_b": jnp.zeros((L, F), dtype),
+            "fc2_w": dense(keys[7], (L, F, D), F),
+            "fc2_b": jnp.zeros((L, D), dtype),
+        },
+    }
+
+
+def patchify(images: jax.Array, patch: int) -> jax.Array:
+    """[B, H, W, 3] -> [B, N, patch*patch*3], row-major patches.
+
+    Flattening order matches a torch Conv2d(stride=patch) + flatten(2):
+    channel-major within the patch (c, ph, pw) to stay weight-compatible
+    with HF checkpoints after conversion.
+    """
+    B, H, W, C = images.shape
+    gh, gw = H // patch, W // patch
+    x = images.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)          # [B, gh, gw, C, ph, pw]
+    return x.reshape(B, gh * gw, C * patch * patch)
+
+
+def forward(params: Params, cfg: SigLIPConfig, images: jax.Array,
+            attn_impl: str = "auto") -> jax.Array:
+    """images: [B, H, W, 3] preprocessed pixels -> [B, 729, hidden]."""
+    B = images.shape[0]
+    x = patchify(images, cfg.patch_size)
+    x = (jnp.dot(x, params["patch_w"], preferred_element_type=jnp.float32)
+         + params["patch_b"].astype(jnp.float32)).astype(images.dtype)
+    x = x + params["pos_embed"].astype(x.dtype)[None]
+
+    H, Dh = cfg.num_heads, cfg.head_dim
+    N = cfg.num_patches
+
+    def block(x, p):
+        h = layer_norm(x, p["ln1_s"], p["ln1_b"], cfg.layer_norm_eps)
+        q = (jnp.dot(h, p["q_w"]) + p["q_b"]).reshape(B, N, H, Dh)
+        k = (jnp.dot(h, p["k_w"]) + p["k_b"]).reshape(B, N, H, Dh)
+        v = (jnp.dot(h, p["v_w"]) + p["v_b"]).reshape(B, N, H, Dh)
+        attn = mha_attention(q, k, v, impl=attn_impl)
+        attn = attn.reshape(B, N, H * Dh)
+        x = x + jnp.dot(attn, p["o_w"]) + p["o_b"]
+        h = layer_norm(x, p["ln2_s"], p["ln2_b"], cfg.layer_norm_eps)
+        h = jnp.dot(h, p["fc1_w"]) + p["fc1_b"]
+        h = jax.nn.gelu(h, approximate=True)     # gelu_pytorch_tanh
+        x = x + jnp.dot(h, p["fc2_w"]) + p["fc2_b"]
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, params["layers"])
+    return x
