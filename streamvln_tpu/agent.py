@@ -1,0 +1,147 @@
+"""Sim-free streaming VLN agent: `step(idx, rgb, instruction, run_model)`.
+
+API + behavioral parity with the reference agent
+(reference: streamvln/streamvln_agent.py:169-258):
+
+- per step, the RGB frame is recorded; the model runs only when the action
+  queue is empty (`run_model=True` in the reference's calling convention)
+- first call of a window sends system + instruction prompt (with the
+  memory clause and <memory> token when step_id != 0); subsequent calls
+  send an empty user turn
+- every call appends '<conjunction> <image>.' to the user turn
+- window reset every `num_frames` env steps clears dialogue state
+- actions are regex-parsed from the decoded text; empty parse -> [STOP]
+
+Differences (TPU-native): generation runs through StreamingEngine's jitted
+prefill+decode; history memory gathers cached pooled frame features
+instead of re-encoding frames (identical math, see streaming/engine.py).
+Depth/pose/intrinsic inputs are accepted for API parity and unused by the
+released RGB-only path (reference: streamvln_agent.py:171-174).
+"""
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from streamvln_tpu.configs import StreamVLNConfig
+from streamvln_tpu.data import chatml
+from streamvln_tpu.data.tokenizer import Tokenizer
+from streamvln_tpu.streaming.engine import StreamingEngine
+from streamvln_tpu.utils.constants import (
+    DEFAULT_MEMORY_TOKEN, MEMORY_PROMPT_AGENT, NAV_PROMPT,
+    NAV_PROMPT_SUFFIX)
+
+
+class VLNAgent:
+    """One streaming dialogue per env on top of a shared StreamingEngine."""
+
+    def __init__(self, engine: StreamingEngine, tokenizer: Tokenizer, *,
+                 memory_prompt: str = MEMORY_PROMPT_AGENT,
+                 deterministic_conjunction: bool = True,
+                 rng: Optional[np.random.Generator] = None):
+        self.engine = engine
+        self.tok = tokenizer
+        self.cfg: StreamVLNConfig = engine.cfg
+        self.memory_prompt = memory_prompt
+        self.rng = None if deterministic_conjunction else \
+            (rng or np.random.default_rng(0))
+        n = engine.n_envs
+        self.step_id = [0] * n
+        self.time_ids: List[List[int]] = [[] for _ in range(n)]
+        self.in_dialogue = [False] * n   # output_ids is not None, in ref
+        self.action_seq: List[List[int]] = [[] for _ in range(n)]
+        # episode-global frame store (uint8, host) for history backfill
+        self.rgb_list: List[List[np.ndarray]] = [[] for _ in range(n)]
+
+    # ------------------------------------------------------------------
+    def reset_memory(self, idx: int = 0):
+        """Full episode reset (reference: streamvln_agent.py:87-99)."""
+        self.step_id[idx] = 0
+        self.time_ids[idx] = []
+        self.in_dialogue[idx] = False
+        self.action_seq[idx] = []
+        self.rgb_list[idx] = []
+        self.engine.reset_episode(idx)
+
+    # ------------------------------------------------------------------
+    def _build_turn(self, idx: int, instruction: str,
+                    with_memory: bool) -> np.ndarray:
+        """Token ids for this call's user turn (+ generation prompt)."""
+        if not self.in_dialogue[idx]:
+            base = NAV_PROMPT.replace("<instruction>.", instruction) \
+                + NAV_PROMPT_SUFFIX
+            if with_memory:
+                base += self.memory_prompt.format(DEFAULT_MEMORY_TOKEN)
+            add_system = True
+        else:
+            base = ""
+            add_system = False
+        user_text = chatml.observation_prompt(self.rng, base)
+        ids, _ = chatml.tokenize_dialogue(
+            self.tok, [("user", user_text)], add_system=add_system,
+            with_labels=False)
+        gen = np.asarray(chatml.generation_prompt(self.tok), np.int32)
+        return np.concatenate([ids, gen])
+
+    def _history_steps(self, idx: int) -> List[int]:
+        """Episode-global history step ids for the slow memory
+        (reference: streamvln_agent.py:223-232)."""
+        t0 = self.time_ids[idx][0]
+        if self.cfg.num_history is None:
+            stride = self.cfg.num_future_steps
+        else:
+            stride = max(t0 // self.cfg.num_history, 1)
+        return list(range(0, t0, stride))
+
+    # ------------------------------------------------------------------
+    def step(self, idx: int, rgb: np.ndarray, instruction_text: str = "",
+             run_model: bool = False
+             ) -> Tuple[Optional[List[int]], float, Optional[str]]:
+        """One env step. Returns (action_seq, generate_time, llm_text);
+        (None, 0, None) on non-model steps — reference signature parity
+        (streamvln_agent.py:169-258)."""
+        self.time_ids[idx].append(self.step_id[idx])
+        self.rgb_list[idx].append(rgb)
+
+        if not run_model:
+            # window-reset bookkeeping happens on the step BEFORE the
+            # boundary call (reference: streamvln_agent.py:192-199)
+            if (self.step_id[idx] + 1) % self.cfg.num_frames == 0:
+                self.engine.reset_for_env(idx)
+                self.in_dialogue[idx] = False
+                self.time_ids[idx] = []
+            self.step_id[idx] += 1
+            return None, 0.0, None
+
+        step = self.step_id[idx]
+        boundary = (not self.in_dialogue[idx]) and step != 0
+        turn_ids = self._build_turn(idx, instruction_text,
+                                    with_memory=boundary)
+        history = self._history_steps(idx) if (
+            boundary and step % self.cfg.num_frames == 0) else []
+        if boundary and not history:
+            # misaligned boundary (model emitted != num_future_steps
+            # actions): drop the <memory> clause rather than crash —
+            # rebuild without memory
+            self.in_dialogue[idx] = False
+            turn_ids = self._build_turn(idx, instruction_text,
+                                        with_memory=False)
+
+        for s in history:
+            self.engine.backfill(idx, self.rgb_list[idx][s], s)
+
+        t0 = time.perf_counter()
+        out_tokens = self.engine.generate(
+            idx, rgb, turn_ids, step_id=step, history_steps=history)
+        gen_time = time.perf_counter() - t0
+        self.in_dialogue[idx] = True
+
+        text = self.tok.decode(out_tokens)
+        actions = chatml.parse_actions(text)
+        if not actions:
+            actions = [0]
+        self.action_seq[idx] = list(actions)
+        self.step_id[idx] += 1
+        return actions, gen_time, text

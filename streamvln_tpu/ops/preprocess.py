@@ -25,7 +25,7 @@ IMAGE_STD = 0.5
 TARGET_SIZE = 384
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
+@functools.partial(jax.jit, static_argnames=("size", "dtype"))
 def preprocess_frames(frames_u8: jax.Array, size: int = TARGET_SIZE,
                       dtype=jnp.bfloat16) -> jax.Array:
     """[N, H, W, 3] uint8 -> [N, size, size, 3] normalized, on device."""

@@ -1,0 +1,349 @@
+"""Streaming inference engine: the TPU-native equivalent of the
+reference's per-env KV + inputs_embeds caches and HF greedy generate
+(reference: streamvln/model/stream_video_vln.py:353-479 and the eval/agent
+loops around it).
+
+Design:
+
+- **KV cache** is a fixed-capacity HBM buffer (models/qwen2.KVCache).
+  A window reset is O(1): set the env's length to 0; stale keys are never
+  attended (key validity = pos < length). The reference instead drops the
+  python cache object (stream_video_vln.py:473-479).
+- **Frame-feature cache**: every model call encodes exactly one current
+  frame; its pooled projector output (196 tokens) is stored in a per-env
+  device slab keyed by env step. At a window boundary the slow memory is
+  assembled by GATHERING 8 cached frame features instead of re-encoding 8
+  history frames through the 26-layer tower (the math is identical — the
+  tower is deterministic per frame; reference re-encodes:
+  stream_video_vln.py:111-131). A `reencode_history=True` mode keeps the
+  reference-exact path for parity testing and for history steps that were
+  never encoded (possible when the LLM emits != num_future_steps actions).
+- **One compiled step** `_prefill_decode`: splice embeds (vision pool is a
+  static [B, (num_history+1)*tpf, D] buffer: slots 0..H-1 memory, slot H
+  current frame), append to KV at per-row offsets, take last-real-token
+  logits, then a `lax.while_loop` greedy decode with <|im_end|> early
+  stop — replacing HF's python generation loop with max_new_tokens=10000
+  (reference: streamvln_eval.py:332).
+- **Sequence-length buckets** keep jit shapes static; a handful of
+  buckets cover first-call / mid-window / window-boundary prompt sizes.
+- The token generated last in a call (usually <|im_end|>) is never fed
+  back inside that call, so its KV is absent — it is prepended to the
+  next call's token stream ("pending token"), exactly reproducing HF's
+  cache_position suffix semantics (stream_video_vln.py:428-450).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamvln_tpu.configs import StreamVLNConfig
+from streamvln_tpu.models import qwen2, streamvln
+from streamvln_tpu.models.qwen2 import KVCache
+from streamvln_tpu.ops.preprocess import preprocess_frames
+
+DEFAULT_BUCKETS = (256, 512, 768, 1024, 1536, 2048, 2560, 3072, 4096)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new", "stop_ids", "attn_impl"))
+def _prefill_decode(
+    params,
+    cfg: StreamVLNConfig,
+    cache: KVCache,
+    feat_cache: jax.Array,        # [B, slots, tpf, D]
+    frame: jax.Array,             # [B, H, W, 3] uint8 (camera res)
+    hist_slots: jax.Array,        # [B, num_history] int32 slot indices
+    write_slot: jax.Array,        # [B] int32 slot for the current frame
+    token_ids: jax.Array,         # [B, T] layout
+    is_vision: jax.Array,         # [B, T]
+    vision_index: jax.Array,      # [B, T] into the (H+1)*tpf vision pool
+    lengths: jax.Array,           # [B] real token counts
+    max_new: int,
+    stop_ids: Tuple[int, ...],
+    attn_impl: str = "auto",
+):
+    """Returns (out_tokens [B, max_new], n_out [B], cache, feat_cache)."""
+    B, T = token_ids.shape
+    tpf = cfg.tokens_per_frame
+    compute_dtype = feat_cache.dtype
+
+    # 1. encode current frame -> pooled tokens; store in feature cache
+    pixels = preprocess_frames(
+        frame.reshape((-1,) + frame.shape[2:]) if frame.ndim == 5
+        else frame, cfg.vision.image_size, dtype=compute_dtype)
+    pooled = streamvln.encode_frames(
+        params, cfg, pixels[:, None], attn_impl)          # [B, tpf, D]
+    pooled = pooled.reshape(B, tpf, -1).astype(compute_dtype)
+    feat_cache = jax.vmap(
+        lambda fc, p, s: jax.lax.dynamic_update_slice(fc, p[None], (s, 0, 0))
+    )(feat_cache, pooled, write_slot)
+
+    # 2. assemble vision pool: [B, (H+1)*tpf, D]
+    mem = jax.vmap(lambda fc, idx: fc[idx])(feat_cache, hist_slots)
+    pool = jnp.concatenate([mem.reshape(B, -1, mem.shape[-1]),
+                            pooled], axis=1)
+
+    # 3. splice + prefill
+    embeds = streamvln.splice_embeds(
+        params, pool, token_ids, is_vision, vision_index)
+    embeds = embeds.astype(compute_dtype)
+    offsets = cache.length
+    positions = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    logits, cache = qwen2.forward(
+        params["llm"], cfg.llm, embeds, positions, cache=cache,
+        new_lengths=lengths, attn_impl=attn_impl)
+    last_logits = jax.vmap(lambda l, n: l[n - 1])(logits, lengths)
+
+    # 4. greedy decode with early stop
+    first_tok = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+    stop_arr = jnp.asarray(stop_ids, jnp.int32)
+
+    def is_stop(t):
+        return jnp.any(t[:, None] == stop_arr[None, :], axis=-1)
+
+    out0 = jnp.zeros((B, max_new), jnp.int32).at[:, 0].set(first_tok)
+
+    def cond(state):
+        cache, cur, out, n, done = state
+        return jnp.logical_and(jnp.any(~done), n < max_new)
+
+    def body(state):
+        cache, cur, out, n, done = state
+        emb = qwen2.embed_tokens(params["llm"], cur[:, None]).astype(
+            compute_dtype)
+        pos = cache.length[:, None]
+        logits, new_cache = qwen2.forward(
+            params["llm"], cfg.llm, emb, pos, cache=cache,
+            attn_impl=attn_impl)
+        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        # rows already done must not advance their lengths; their garbage
+        # KV write lands past the frozen length, is never attended, and is
+        # overwritten by the next real write at that offset.
+        new_cache = KVCache(
+            new_cache.k, new_cache.v,
+            jnp.where(done, cache.length, new_cache.length))
+        out = jnp.where(done[:, None], out,
+                        jax.vmap(lambda o, t, i: o.at[i].set(t))(
+                            out, nxt, jnp.full((B,), 0, jnp.int32) + n))
+        done_next = done | is_stop(nxt) | is_stop(cur)
+        cur = jnp.where(done_next, cur, nxt)
+        return (new_cache, cur, out, n + 1, done_next)
+
+    done0 = is_stop(first_tok)
+    state = (cache, first_tok, out0, jnp.int32(1), done0)
+    cache, _, out, n_steps, _ = jax.lax.while_loop(cond, body, state)
+
+    # count real tokens per row: tokens up to and including first stop
+    stop_mask = jnp.any(out[:, :, None] == stop_arr[None, None, :], axis=-1)
+    has_stop = jnp.any(stop_mask, axis=1)
+    first_stop = jnp.argmax(stop_mask, axis=1)
+    n_out = jnp.where(has_stop, first_stop + 1, n_steps)
+    return out, n_out, cache, feat_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+def _encode_store(params, cfg: StreamVLNConfig, feat_cache: jax.Array,
+                  frame: jax.Array, env: jax.Array, write_slot: jax.Array,
+                  attn_impl: str = "auto"):
+    """Encode one frame and store its pooled features at
+    feat_cache[env, write_slot] (history backfill path)."""
+    pixels = preprocess_frames(frame[None], cfg.vision.image_size,
+                               dtype=feat_cache.dtype)
+    pooled = streamvln.encode_frames(params, cfg, pixels[:, None],
+                                     attn_impl)[0]
+    pooled = pooled.astype(feat_cache.dtype)
+    return jax.lax.dynamic_update_slice(
+        feat_cache, pooled[None, None], (env, write_slot, 0, 0))
+
+
+@dataclasses.dataclass
+class EnvState:
+    """Host-side per-env dialogue bookkeeping."""
+    pending_token: Optional[int] = None   # last generated, not yet in KV
+    frame_slots: dict = dataclasses.field(default_factory=dict)
+    # step_id -> feature-cache slot for encoded frames
+    next_slot: int = 0
+
+
+class StreamingEngine:
+    """Owns device state for n_envs parallel dialogues (batch axis).
+
+    API parity with the reference model-side surface: `reset(env_num)` /
+    `reset_for_env(i)` (reference: stream_video_vln.py:473-479) plus
+    `generate(env, frame, turn_ids, ...)` which subsumes
+    model.generate(images=..., inputs=..., past_key_values=...).
+    """
+
+    def __init__(self, params, cfg: StreamVLNConfig, *,
+                 n_envs: int = 1,
+                 cache_capacity: int = 4096,
+                 feat_slots: int = 160,
+                 max_new_tokens: int = 16,
+                 stop_ids: Sequence[int] = (),
+                 buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 compute_dtype=jnp.bfloat16,
+                 attn_impl: str = "auto"):
+        self.params = params
+        self.cfg = cfg
+        self.n_envs = n_envs
+        self.max_new = max_new_tokens
+        self.stop_ids = tuple(int(s) for s in stop_ids)
+        self.buckets = tuple(sorted(buckets))
+        self.attn_impl = attn_impl
+        self.compute_dtype = compute_dtype
+        self.cache = KVCache.create(cfg.llm, n_envs, cache_capacity,
+                                    compute_dtype)
+        D = cfg.llm.hidden_size
+        self.feat_cache = jnp.zeros(
+            (n_envs, feat_slots, cfg.tokens_per_frame, D), compute_dtype)
+        self.envs = [EnvState() for _ in range(n_envs)]
+
+    # -- reset ----------------------------------------------------------
+    def reset(self):
+        self.cache = KVCache(self.cache.k, self.cache.v,
+                             jnp.zeros_like(self.cache.length))
+        for e in self.envs:
+            e.pending_token = None
+
+    def reset_for_env(self, env: int):
+        """Window reset: drop dialogue KV; the frame-feature cache is
+        EPISODE-scoped and survives (it feeds the slow memory)."""
+        mask = np.zeros((self.n_envs,), bool)
+        mask[env] = True
+        self.cache = self.cache.reset_rows(jnp.asarray(mask))
+        self.envs[env].pending_token = None
+
+    def reset_episode(self, env: int):
+        self.reset_for_env(env)
+        self.envs[env].frame_slots.clear()
+        self.envs[env].next_slot = 0
+
+    # -- generate -------------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"sequence length {n} exceeds largest bucket "
+                         f"{self.buckets[-1]}")
+
+    def generate(
+        self,
+        env: int,
+        frame_u8: np.ndarray,            # [H, W, 3] uint8 current frame
+        turn_ids: np.ndarray,            # int32 ids incl. sentinels
+        step_id: int,
+        history_steps: Sequence[int] = (),
+    ) -> List[int]:
+        """Run one model call for one env. Returns generated token ids
+        (up to and including the stop token)."""
+        st = self.envs[env]
+        ids = list(map(int, turn_ids))
+        if st.pending_token is not None:
+            ids = [st.pending_token] + ids
+
+        num_hist = len(history_steps)
+        if num_hist:
+            assert num_hist == self.cfg.num_history, (
+                f"memory expects {self.cfg.num_history} history frames, "
+                f"got {num_hist}")
+            missing = [s for s in history_steps if s not in st.frame_slots]
+            assert not missing, (
+                f"history steps {missing} were never encoded; call "
+                f"backfill(env, frame, step) for them first")
+            hist_slots = [st.frame_slots[s] for s in history_steps]
+        else:
+            hist_slots = [0] * self.cfg.num_history  # never referenced
+
+        # current frame gets the next free slot
+        write_slot = st.next_slot
+        st.frame_slots[step_id] = write_slot
+        st.next_slot += 1
+
+        layout = streamvln.build_splice_layout(
+            np.asarray(ids, np.int32), self.cfg,
+            pad_to=self._bucket(self._expanded_len(ids)))
+        # vision pool layout: memory slots first, current frame last —
+        # matches build_splice_layout's consumption order (<memory>
+        # precedes <image> in every prompt that has both).
+        if not num_hist:
+            # no <memory> sentinel: frame 0 of the pool must be the
+            # current frame -> shift indices up by num_history frames
+            layout.vision_index = layout.vision_index + np.int32(
+                self.cfg.num_history * self.cfg.tokens_per_frame)
+
+        out, n_out, self.cache, self.feat_cache = self._call_jit(
+            layout, frame_u8, hist_slots, write_slot, env)
+        toks = [int(t) for t in np.asarray(out[env])[: int(n_out[env])]]
+        if toks:
+            st.pending_token = toks[-1]
+        return toks
+
+    def backfill(self, env: int, frame_u8: np.ndarray, step_id: int):
+        """Encode a history frame that was never seen at a model call
+        (happens when the LLM emits != num_future_steps actions)."""
+        st = self.envs[env]
+        if step_id in st.frame_slots:
+            return
+        slot = st.next_slot
+        st.frame_slots[step_id] = slot
+        st.next_slot += 1
+        self.feat_cache = _encode_store(
+            self.params, self.cfg, self.feat_cache,
+            jnp.asarray(frame_u8), jnp.int32(env), jnp.int32(slot),
+            self.attn_impl)
+
+    def _expanded_len(self, ids) -> int:
+        tpf = self.cfg.tokens_per_frame
+        n = 0
+        for t in ids:
+            if t == -200:
+                n += tpf
+            elif t == -300:
+                n += self.cfg.num_history * tpf
+            else:
+                n += 1
+        return n
+
+    def _call_jit(self, layout, frame_u8, hist_slots, write_slot, env):
+        B = self.n_envs
+        T = len(layout.token_ids)
+        token_ids = np.zeros((B, T), np.int32)
+        is_vision = np.zeros((B, T), bool)
+        vision_index = np.zeros((B, T), np.int32)
+        lengths = np.ones((B,), np.int32)  # inactive rows: 1 dummy token
+        token_ids[env] = layout.token_ids
+        is_vision[env] = layout.is_vision
+        vision_index[env] = layout.vision_index
+        lengths[env] = layout.length
+
+        frames = np.zeros((B,) + frame_u8.shape, frame_u8.dtype)
+        frames[env] = frame_u8
+        hs = np.zeros((B, self.cfg.num_history), np.int32)
+        hs[env] = hist_slots
+        ws = np.zeros((B,), np.int32)
+        ws[env] = write_slot
+
+        # inactive rows must not advance their KV length: zero new_lengths
+        saved_len = self.cache.length
+        out, n_out, cache, feat_cache = _prefill_decode(
+            self.params, self.cfg, self.cache, self.feat_cache,
+            jnp.asarray(frames), jnp.asarray(hs), jnp.asarray(ws),
+            jnp.asarray(token_ids), jnp.asarray(is_vision),
+            jnp.asarray(vision_index), jnp.asarray(lengths),
+            self.max_new, self.stop_ids, self.attn_impl)
+        # restore lengths of inactive rows (their dummy writes are masked
+        # out by never being attended past their unchanged length)
+        row = np.zeros((B,), bool)
+        row[env] = True
+        cache = KVCache(cache.k, cache.v,
+                        jnp.where(jnp.asarray(row), cache.length,
+                                  saved_len))
+        self.cache = cache
+        self.feat_cache = feat_cache
+        return out, n_out, cache, feat_cache

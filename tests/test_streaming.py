@@ -1,0 +1,175 @@
+"""Streaming engine parity: incremental KV-cached multi-turn generation
+must match a naive full-recompute reference, including across window
+boundaries with the slow-memory path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamvln_tpu.agent import VLNAgent
+from streamvln_tpu.configs import tiny_streamvln
+from streamvln_tpu.data import chatml
+from streamvln_tpu.data.tokenizer import ByteTokenizer
+from streamvln_tpu.models import qwen2, streamvln
+from streamvln_tpu.ops.preprocess import preprocess_frames
+from streamvln_tpu.streaming.engine import StreamingEngine
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    return cfg, params, tok
+
+
+def make_engine(cfg, params, tok, **kw):
+    kw.setdefault("compute_dtype", jnp.float32)
+    kw.setdefault("max_new_tokens", 6)
+    kw.setdefault("cache_capacity", 2048)
+    kw.setdefault("buckets", (128, 256, 512, 768, 1024))
+    return StreamingEngine(params, cfg, stop_ids=(tok.im_end_id,), **kw)
+
+
+class NaiveDialogue:
+    """Ground-truth reference: full recompute each decode step, no cache.
+
+    Keeps the full token stream (with sentinels) + all frames; each next
+    token = argmax over a from-scratch forward of the whole dialogue.
+    """
+
+    def __init__(self, cfg, params, tok, max_new):
+        self.cfg, self.params, self.tok = cfg, params, tok
+        self.max_new = max_new
+        self.ids = []        # full dialogue ids incl sentinels
+        self.frames = []     # uint8 frames in sentinel consumption order
+
+    def generate(self, frame_u8, turn_ids, history_frames=()):
+        # history frames are consumed by <memory> BEFORE the current
+        # frame's <image>; mirror that order in the frame list
+        self.frames.extend(history_frames)
+        self.frames.append(frame_u8)
+        self.ids.extend(int(t) for t in turn_ids)
+        out = []
+        for _ in range(self.max_new):
+            nxt = self._next_token()
+            out.append(nxt)
+            self.ids.append(nxt)
+            if nxt == self.tok.im_end_id:
+                break
+        return out
+
+    def _next_token(self):
+        cfg, params = self.cfg, self.params
+        frames = np.stack(self.frames)
+        pixels = preprocess_frames(jnp.asarray(frames),
+                                   cfg.vision.image_size,
+                                   dtype=jnp.float32)
+        vision = streamvln.encode_frames(params, cfg, pixels[None])
+        layout = streamvln.build_splice_layout(
+            np.asarray(self.ids, np.int32), cfg)
+        batch = streamvln.stack_layouts([layout])
+        embeds = streamvln.splice_embeds(
+            params, vision, jnp.asarray(batch["token_ids"]),
+            jnp.asarray(batch["is_vision"]),
+            jnp.asarray(batch["vision_index"]))
+        pos = jnp.arange(layout.length)[None]
+        logits, _ = qwen2.forward(params["llm"], cfg.llm, embeds, pos)
+        return int(jnp.argmax(logits[0, -1]))
+
+
+def _turn(tok, text, add_system):
+    ids, _ = chatml.tokenize_dialogue(tok, [("user", text)],
+                                      add_system=add_system,
+                                      with_labels=False)
+    return np.concatenate([ids, np.asarray(chatml.generation_prompt(tok),
+                                           np.int32)])
+
+
+def test_multiturn_parity_no_memory(setup):
+    """3 dialogue turns, one frame each: engine == naive recompute."""
+    cfg, params, tok = setup
+    engine = make_engine(cfg, params, tok)
+    naive = NaiveDialogue(cfg, params, tok, max_new=6)
+    rng = np.random.RandomState(0)
+
+    for call in range(3):
+        frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        text = chatml.observation_prompt(None, "walk ahead" if call == 0
+                                         else "")
+        ids = _turn(tok, text, add_system=(call == 0))
+        got = engine.generate(0, frame, ids, step_id=call *
+                              cfg.num_future_steps)
+        want = naive.generate(frame, ids)
+        assert got == want, f"call {call}: {got} != {want}"
+
+
+def test_window_boundary_memory_parity(setup):
+    """Boundary call with <memory>: gathered cached features must equal
+    fresh re-encode (the naive path re-encodes history frames)."""
+    cfg, params, tok = setup
+    engine = make_engine(cfg, params, tok)
+    naive = NaiveDialogue(cfg, params, tok, max_new=6)
+    rng = np.random.RandomState(1)
+    nf, nfs, nh = cfg.num_frames, cfg.num_future_steps, cfg.num_history
+
+    frames = {}
+    # one window of calls (steps 0, 2, 4, 6 for tiny cfg nf=8 nfs=2)
+    for call in range(nf // nfs):
+        step = call * nfs
+        frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        frames[step] = frame
+        text = chatml.observation_prompt(
+            None, "go to the door" if call == 0 else "")
+        ids = _turn(tok, text, add_system=(call == 0))
+        got = engine.generate(0, frame, ids, step_id=step)
+        want = naive.generate(frame, ids)
+        assert got == want, f"call {call}: {got} != {want}"
+
+    # window reset
+    engine.reset_for_env(0)
+    naive2 = NaiveDialogue(cfg, params, tok, max_new=6)
+
+    # boundary call at step nf with memory
+    step = nf
+    frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    hist_steps = list(range(0, nf, nf // nh))
+    base = "go to the door You have visited these areas <memory>."
+    text = chatml.observation_prompt(None, base)
+    ids = _turn(tok, text, add_system=True)
+    got = engine.generate(0, frame, ids, step_id=step,
+                          history_steps=hist_steps)
+    want = naive2.generate(frame, ids,
+                           history_frames=[frames[s] for s in hist_steps])
+    assert got == want, f"boundary: {got} != {want}"
+
+
+def test_agent_smoke_33_steps(setup):
+    """Reference-style smoke run (streamvln_agent.py:312-320) extended
+    across the window boundary; every model call returns actions."""
+    cfg, params, tok = setup
+    engine = make_engine(cfg, params, tok)
+    agent = VLNAgent(engine, tok)
+    rng = np.random.RandomState(2)
+
+    queue = []
+    calls = 0
+    for step in range(2 * cfg.num_frames + 1):
+        frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        run_model = len(queue) == 0
+        actions, gen_t, text = agent.step(0, frame, "move forward",
+                                          run_model=run_model)
+        if run_model:
+            assert actions is not None and len(actions) >= 1
+            queue = list(actions)[:cfg.num_future_steps]
+            calls += 1
+        queue.pop(0) if queue else None
+    assert calls >= 3
+
+
+def test_engine_rejects_oversized_prompt(setup):
+    cfg, params, tok = setup
+    engine = make_engine(cfg, params, tok, buckets=(64,))
+    ids = np.asarray(tok.encode("x" * 100), np.int32)
+    with pytest.raises(ValueError, match="exceeds largest bucket"):
+        engine.generate(0, np.zeros((48, 64, 3), np.uint8), ids, step_id=0)
