@@ -1,0 +1,125 @@
+"""Benchmark: streaming per-step action-decode rate on real TPU.
+
+Simulates the deployed cadence (reference eval: one model call per
+num_future_steps=4 env steps, sliding window 32, memory at boundaries;
+reference: streamvln/streamvln_eval.py:247-350) and reports the p50
+per-env-step latency as a rate in Hz. Target (BASELINE.json north star):
+>= 5 Hz per-step action decode.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Hz", "vs_baseline": N}
+
+Model size is chosen to fit the available chip HBM (the full 7B stack in
+bf16 is ~16 GB and does not fit a single v5e-1 chip; the bench then falls
+back to the 1.5B-shape LLM and records which config ran).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+TARGET_HZ = 5.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from streamvln_tpu import configs
+    from streamvln_tpu.data import chatml
+    from streamvln_tpu.data.tokenizer import ByteTokenizer
+    from streamvln_tpu.models import streamvln
+    from streamvln_tpu.streaming.engine import StreamingEngine
+
+    backend = jax.default_backend()
+    model_name = os.environ.get("BENCH_MODEL", "auto")
+    if model_name == "auto":
+        # single v5e chip (16 GB): 7B bf16 (15.2 GB + vision) won't fit
+        model_name = "qwen2-1.5b" if backend == "tpu" else "tiny"
+
+    if model_name == "qwen2-7b":
+        cfg = configs.streamvln_7b()
+    elif model_name == "qwen2-1.5b":
+        cfg = configs.StreamVLNConfig(vision=configs.siglip_so400m(),
+                                      llm=configs.qwen2_1_5b())
+    elif model_name == "qwen2-0.5b":
+        cfg = configs.StreamVLNConfig(vision=configs.siglip_so400m(),
+                                      llm=configs.qwen2_0_5b())
+    else:
+        cfg = configs.tiny_streamvln()
+
+    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    params = streamvln.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    tok = ByteTokenizer()
+    engine = StreamingEngine(
+        params, cfg, n_envs=1, cache_capacity=4096,
+        max_new_tokens=12, stop_ids=(tok.im_end_id,),
+        compute_dtype=dtype,
+        buckets=(512, 768, 1024, 2304, 2560, 3072))
+
+    def turn_ids(first: bool, memory: bool):
+        if first or memory:
+            base = ("You are an autonomous navigation assistant. Your "
+                    "task is to walk down the hallway and stop by the "
+                    "second door on the left near the picture frame.")
+            if memory:
+                base += " These are your historical observations <memory>."
+            text = chatml.observation_prompt(None, base)
+            ids, _ = chatml.tokenize_dialogue(
+                tok, [("user", text)], add_system=True, with_labels=False)
+        else:
+            text = chatml.observation_prompt(None, "")
+            ids, _ = chatml.tokenize_dialogue(
+                tok, [("user", text)], add_system=False, with_labels=False)
+        return np.concatenate(
+            [ids, np.asarray(chatml.generation_prompt(tok), np.int32)])
+
+    rng = np.random.RandomState(0)
+    nfs, nf, nh = cfg.num_future_steps, cfg.num_frames, cfg.num_history
+
+    def run_episode(n_steps, record):
+        engine.reset()
+        engine.reset_episode(0)
+        lat = []
+        for step in range(0, n_steps, nfs):
+            frame = rng.randint(0, 255, (480, 640, 3), np.uint8)
+            boundary = step != 0 and step % nf == 0
+            if boundary:
+                engine.reset_for_env(0)
+            hist = list(range(0, step, step // nh)) if boundary else []
+            ids = turn_ids(first=(step == 0), memory=boundary)
+            t0 = time.perf_counter()
+            out = engine.generate(0, frame, ids, step_id=step,
+                                  history_steps=hist)
+            jax.block_until_ready(engine.cache.length)
+            lat.append(time.perf_counter() - t0)
+        if record:
+            return lat
+        return []
+
+    run_episode(2 * nf, record=False)          # warmup / compile
+    lat = run_episode(2 * nf, record=True)     # timed: 2 windows
+
+    per_call_p50 = float(np.percentile(lat, 50))
+    # one call covers num_future_steps env steps
+    step_hz = nfs / per_call_p50
+    result = {
+        "metric": "per_step_action_decode_p50",
+        "value": round(step_hz, 3),
+        "unit": "Hz",
+        "vs_baseline": round(step_hz / TARGET_HZ, 3),
+        "config": {
+            "model": model_name,
+            "backend": backend,
+            "per_call_p50_ms": round(per_call_p50 * 1000, 2),
+            "per_call_mean_ms": round(float(np.mean(lat)) * 1000, 2),
+            "calls": len(lat),
+            "max_new_tokens": 12,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,7 +80,11 @@ def patchify(images: jax.Array, patch: int) -> jax.Array:
     """
     B, H, W, C = images.shape
     gh, gw = H // patch, W // patch
-    x = images.reshape(B, gh, patch, gw, patch, C)
+    # valid conv semantics: trailing pixels that don't fill a patch are
+    # discarded (so400m: 384 = 27*14 + 6; torch Conv2d stride=14 ignores
+    # the last 6 rows/cols)
+    x = images[:, : gh * patch, : gw * patch]
+    x = x.reshape(B, gh, patch, gw, patch, C)
     x = x.transpose(0, 1, 3, 5, 2, 4)          # [B, gh, gw, C, ph, pw]
     return x.reshape(B, gh * gw, C * patch * patch)
 

@@ -1,0 +1,155 @@
+"""FSDP training runtime: optax optimizer with per-module LR groups,
+remat, and a pjit-sharded train step.
+
+Replaces the reference's HF Trainer + DeepSpeed ZeRO-2/3 stack:
+- per-module learning rates (mm_projector_lr / mm_vision_tower_lr param
+  groups; reference: llava/train/llava_trainer.py:395-472)
+- tunable-part freezing (reference: streamvln_train.py:1713-1770)
+- ZeRO-style param/optimizer sharding -> 'fsdp' mesh axis sharding
+  (reference: scripts/zero{2,3}.json)
+- gradient checkpointing -> jax.checkpoint over the scanned layer stack
+- bf16 training with f32 master weights kept implicitly (params dtype is
+  the caller's choice; loss/grads accumulate in f32)
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from streamvln_tpu.configs import StreamVLNConfig
+from streamvln_tpu.models import streamvln
+from streamvln_tpu.parallel import mesh as mesh_lib
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Defaults mirror the reference run (scripts/streamvln_train_slurm.sh:
+    55-68: lr 2e-5, tower lr 5e-6, cosine schedule, warmup 0.03)."""
+    learning_rate: float = 2e-5
+    vision_lr: Optional[float] = 5e-6
+    projector_lr: Optional[float] = None   # None -> base lr
+    weight_decay: float = 0.0
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    grad_clip: float = 1.0
+    warmup_ratio: float = 0.03
+    total_steps: int = 1000
+    freeze_vision: bool = False
+    freeze_projector: bool = False
+    freeze_llm: bool = False
+    remat: bool = True
+    attn_impl: str = "auto"
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def _schedule(tcfg: TrainConfig, peak: float):
+    warmup = max(int(tcfg.total_steps * tcfg.warmup_ratio), 1)
+    return optax.warmup_cosine_decay_schedule(
+        0.0, peak, warmup, max(tcfg.total_steps, warmup + 1))
+
+
+def _label_params(params):
+    def one(path, _):
+        top = mesh_lib._path_str(path).split("/")[0]
+        return top if top in ("vision", "projector", "llm") else "llm"
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    def adamw(peak):
+        return optax.chain(
+            optax.clip_by_global_norm(tcfg.grad_clip),
+            optax.adamw(_schedule(tcfg, peak), b1=tcfg.b1, b2=tcfg.b2,
+                        eps=tcfg.eps, weight_decay=tcfg.weight_decay),
+        )
+
+    transforms = {
+        "vision": optax.set_to_zero() if tcfg.freeze_vision else
+        adamw(tcfg.vision_lr or tcfg.learning_rate),
+        "projector": optax.set_to_zero() if tcfg.freeze_projector else
+        adamw(tcfg.projector_lr or tcfg.learning_rate),
+        "llm": optax.set_to_zero() if tcfg.freeze_llm else
+        adamw(tcfg.learning_rate),
+    }
+    return optax.multi_transform(transforms, _label_params)
+
+
+def create_train_state(params, tcfg: TrainConfig) -> TrainState:
+    opt = make_optimizer(tcfg)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=opt.init(params))
+
+
+def state_shardings(state: TrainState, mesh):
+    """NamedShardings read from the live state. Params are placed by
+    shard_params; optax.init builds moment buffers with zeros_like, which
+    inherits the param sharding — ZeRO-style optimizer partitioning for
+    free. Host-side (numpy) leaves fall back to replicated."""
+    def one(leaf):
+        sh = getattr(leaf, "sharding", None)
+        if sh is not None and getattr(sh, "mesh", None) is not None \
+                and not sh.is_fully_replicated:
+            return sh
+        return NamedSharding(mesh, P())
+    return jax.tree.map(one, state)
+
+
+def make_train_step(cfg: StreamVLNConfig, tcfg: TrainConfig, mesh):
+    """Returns jitted (state, batch) -> (state, metrics). Batch dict:
+    images [B,V,S,S,3] (preprocessed), token_ids/is_vision/vision_index/
+    labels/valid [B,T], lengths [B]."""
+    opt = make_optimizer(tcfg)
+
+    def loss_fn(params, batch):
+        loss, _ = streamvln.forward_train(
+            params, cfg, batch["images"],
+            {k: batch[k] for k in ("token_ids", "is_vision",
+                                   "vision_index", "labels", "valid")},
+            attn_impl=tcfg.attn_impl, remat=tcfg.remat)
+        return loss
+
+    def step_fn(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = opt.update(grads, state.opt_state,
+                                        state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(state.step + 1, params, opt_state)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    compiled = {}
+
+    def jit_step(state, batch):
+        n_data = mesh.shape["dp"] * mesh.shape["fsdp"]
+        B = next(iter(batch.values())).shape[0]
+        if B % n_data != 0:
+            raise ValueError(
+                f"global batch size {B} must be divisible by "
+                f"dp*fsdp = {n_data}")
+        key = tuple(sorted(batch.keys()))
+        if key not in compiled:
+            st_sh = state_shardings(state, mesh)
+            bspec = mesh_lib.batch_spec()
+            batch_shardings = {k: NamedSharding(mesh, bspec)
+                               for k in batch}
+            compiled[key] = jax.jit(
+                step_fn,
+                in_shardings=(st_sh, batch_shardings),
+                out_shardings=(st_sh, NamedSharding(mesh, P())),
+                donate_argnums=(0,),
+            )
+        return compiled[key](state, batch)
+
+    return jit_step

@@ -1,0 +1,119 @@
+"""FSDP mesh training tests on the 8-virtual-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamvln_tpu.configs import tiny_streamvln
+from streamvln_tpu.models import streamvln
+from streamvln_tpu.parallel import mesh as mesh_lib
+from streamvln_tpu.parallel import train as train_lib
+from streamvln_tpu.utils.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+
+
+def _make_batch(cfg, B=8, T=32, seed=0):
+    rng = np.random.RandomState(seed)
+    layouts = []
+    for _ in range(B):
+        ids = np.array([7, IMAGE_TOKEN_INDEX, 5, 6, 8, 9], np.int32)
+        labels = np.array([IGNORE_INDEX, IGNORE_INDEX, 5, 6, 8, 9],
+                          np.int32)
+        layouts.append(streamvln.build_splice_layout(
+            ids, cfg, labels=labels, pad_to=T))
+    batch = {k: jnp.asarray(v) for k, v in
+             streamvln.stack_layouts(layouts).items()}
+    batch.pop("lengths")
+    S = cfg.vision.image_size
+    batch["images"] = jnp.asarray(
+        rng.rand(B, 1, S, S, 3).astype(np.float32))
+    return batch
+
+
+def test_mesh_construction():
+    mesh = mesh_lib.make_mesh(dp=2, fsdp=4, tp=1)
+    assert mesh.shape == {"dp": 2, "fsdp": 4, "tp": 1}
+
+
+def test_param_specs_divisibility():
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    mesh = mesh_lib.make_mesh(dp=1, fsdp=8, tp=1)
+    specs = mesh_lib.param_specs(params, mesh)
+    # every sharded axis must divide evenly
+    def check(path, leaf, spec):
+        for i, ax in enumerate(tuple(spec)):
+            if ax is not None:
+                axes = ax if isinstance(ax, tuple) else (ax,)
+                total = int(np.prod([mesh.shape[a] for a in axes]))
+                assert leaf.shape[i] % total == 0, (path, leaf.shape, spec)
+    jax.tree_util.tree_map_with_path(
+        lambda p, l, s: check(p, l, s), params, specs)
+
+
+def test_train_step_runs_and_loss_decreases():
+    cfg = tiny_streamvln()
+    tcfg = train_lib.TrainConfig(learning_rate=1e-3, total_steps=50,
+                                 remat=True)
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    mesh = mesh_lib.make_mesh(dp=2, fsdp=4, tp=1)
+    params = mesh_lib.shard_params(params, mesh)
+    state = train_lib.create_train_state(params, tcfg)
+    step = train_lib.make_train_step(cfg, tcfg, mesh)
+    batch = _make_batch(cfg)
+
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_sharded_matches_single_device():
+    """One FSDP step == one single-device step (same grads/updates)."""
+    cfg = tiny_streamvln()
+    tcfg = train_lib.TrainConfig(learning_rate=1e-3, total_steps=50,
+                                 remat=False)
+    batch = _make_batch(cfg)
+
+    # single device (init is deterministic; re-init per mesh because the
+    # train step donates its input state)
+    mesh1 = mesh_lib.make_mesh(dp=1, fsdp=1, tp=1,
+                               devices=jax.devices()[:1])
+    s1 = train_lib.create_train_state(
+        streamvln.init(jax.random.PRNGKey(0), cfg), tcfg)
+    step1 = train_lib.make_train_step(cfg, tcfg, mesh1)
+    s1, m1 = step1(s1, batch)
+
+    # 8-way fsdp+dp
+    mesh8 = mesh_lib.make_mesh(dp=2, fsdp=4, tp=1)
+    p8 = mesh_lib.shard_params(
+        streamvln.init(jax.random.PRNGKey(0), cfg), mesh8)
+    s8 = train_lib.create_train_state(p8, tcfg)
+    step8 = train_lib.make_train_step(cfg, tcfg, mesh8)
+    s8, m8 = step8(s8, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_frozen_vision_params_unchanged():
+    cfg = tiny_streamvln()
+    tcfg = train_lib.TrainConfig(learning_rate=1e-2, total_steps=50,
+                                 freeze_vision=True, remat=False)
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    mesh = mesh_lib.make_mesh(dp=1, fsdp=8, tp=1)
+    params = mesh_lib.shard_params(params, mesh)
+    state = train_lib.create_train_state(params, tcfg)
+    step = train_lib.make_train_step(cfg, tcfg, mesh)
+    before = jax.tree.map(np.asarray, state.params["vision"])
+    state, _ = step(state, _make_batch(cfg))
+    after = jax.tree.map(np.asarray, state.params["vision"])
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
