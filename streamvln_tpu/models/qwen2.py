@@ -158,10 +158,32 @@ def init(rng: jax.Array, cfg: Qwen2Config,
 # Forward
 # ---------------------------------------------------------------------------
 
+def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos):
+    """Attention with visibility rule `k_pos <= q_pos` (invalid keys carry
+    a huge k_pos). Dispatches to the Pallas flash kernel on TPU when the
+    shapes qualify, else dense XLA with the equivalent mask."""
+    use_flash = (
+        attn_impl in ("flash", "auto")
+        and cfg.head_dim % 128 == 0
+        and (attn_impl == "flash" or jax.default_backend() == "tpu"))
+    if use_flash:
+        from streamvln_tpu.ops import flash_attention as fa
+        return fa.flash_attention(
+            q, k, v, q_pos, k_pos,
+            logits_soft_cap=cfg.attn_logits_soft_cap)
+    mask = k_pos[:, None, :] <= q_pos[:, :, None]
+    return dense_attention(q, k, v, mask,
+                           logits_soft_cap=cfg.attn_logits_soft_cap)
+
+
 def _layer_step(cfg: Qwen2Config, attn_impl: str,
                 carry, layer_params,
-                positions, mask, cache_kv=None, cache_offsets=None):
-    """One decoder block. carry = hidden states [B, S, Dm]."""
+                positions, k_pos, cache_kv=None, cache_offsets=None):
+    """One decoder block. carry = hidden states [B, S, Dm].
+
+    k_pos: positions of keys — in-sequence positions (no cache) or cache
+    slot indices (cache path); invalid keys hold a huge sentinel.
+    """
     x = carry
     p = layer_params
     B, S, Dm = x.shape
@@ -185,12 +207,10 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
         ck, cv = cache_kv
         ck = _append_rows(ck, k, cache_offsets)   # [B, Smax, Hkv, Dh]
         cv = _append_rows(cv, v, cache_offsets)
-        attn = mha_attention(q, ck, cv, mask=mask, impl=attn_impl,
-                             logits_soft_cap=cfg.attn_logits_soft_cap)
+        attn = _attend(cfg, attn_impl, q, ck, cv, positions, k_pos)
         new_cache = (ck, cv)
     else:
-        attn = mha_attention(q, k, v, mask=mask, impl=attn_impl,
-                             logits_soft_cap=cfg.attn_logits_soft_cap)
+        attn = _attend(cfg, attn_impl, q, k, v, positions, k_pos)
         new_cache = None
 
     attn = attn.reshape(B, S, Hq * Dh)
@@ -203,6 +223,9 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
     return x, new_cache
 
 
+INVALID_POS = 1 << 30
+
+
 def forward(
     params: Params,
     cfg: Qwen2Config,
@@ -210,15 +233,18 @@ def forward(
     positions: jax.Array,                  # [B, S] global positions
     cache: Optional[KVCache] = None,
     new_lengths: Optional[jax.Array] = None,  # [B] real (unpadded) new tokens
-    attn_mask: Optional[jax.Array] = None,    # [B, Sq, Sk]; default causal
+    valid: Optional[jax.Array] = None,     # [B, S] bool; False = padding
     attn_impl: str = "auto",
     remat: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack. Returns (logits [B, S, V], updated cache).
 
-    With a cache: K/V of this call are appended at each row's `length`
-    offset; attention spans the whole cache buffer, masked causally by
-    global position (key j visible to query i iff j <= pos_i).
+    Visibility rule everywhere: key j visible to query i iff
+    k_pos[j] <= q_pos[i]. With a cache, k_pos is the cache slot index
+    (slots past the row's fill length hold stale data at higher indices
+    than any live query position, so they are naturally invisible);
+    without a cache, k_pos is the in-sequence position, with padding keys
+    (valid=False) pushed to an invisible sentinel.
     """
     B, S, Dm = inputs_embeds.shape
     x = inputs_embeds
@@ -226,16 +252,16 @@ def forward(
     if cache is not None:
         if new_lengths is None:
             new_lengths = jnp.full((B,), S, jnp.int32)
-        key_pos = jnp.arange(cache.capacity, dtype=jnp.int32)
-        if attn_mask is None:
-            attn_mask = key_pos[None, None, :] <= positions[:, :, None]
+        k_pos = jnp.broadcast_to(
+            jnp.arange(cache.capacity, dtype=jnp.int32)[None],
+            (B, cache.capacity))
         offsets = cache.length
 
         def step(carry, xs):
             x = carry
             lp, ck, cv = xs
             x, (nk, nv) = _layer_step(
-                cfg, attn_impl, x, lp, positions, attn_mask,
+                cfg, attn_impl, x, lp, positions, k_pos,
                 cache_kv=(ck, cv), cache_offsets=offsets)
             return x, (nk, nv)
 
@@ -244,10 +270,13 @@ def forward(
             step_fn, x, (params["layers"], cache.k, cache.v))
         new_cache = KVCache(new_k, new_v, cache.length + new_lengths)
     else:
-        if attn_mask is None:
-            attn_mask = (positions[:, None, :] <= positions[:, :, None])
+        if valid is None:
+            k_pos = positions
+        else:
+            k_pos = jnp.where(valid, positions, INVALID_POS)
+
         def step(carry, lp):
-            x, _ = _layer_step(cfg, attn_impl, carry, lp, positions, attn_mask)
+            x, _ = _layer_step(cfg, attn_impl, carry, lp, positions, k_pos)
             return x, None
 
         step_fn = jax.checkpoint(step) if remat else step

@@ -227,11 +227,9 @@ def forward_train(
     valid = layout["valid"]
     B, T = valid.shape
     positions = jnp.where(valid, jnp.cumsum(valid, axis=1) - 1, 0)
-    attn_mask = (positions[:, None, :] <= positions[:, :, None]) \
-        & valid[:, None, :] & valid[:, :, None]
     logits, _ = qwen2.forward(
-        params["llm"], cfg.llm, embeds, positions,
-        attn_mask=attn_mask, attn_impl=attn_impl, remat=remat)
+        params["llm"], cfg.llm, embeds, positions, valid=valid,
+        attn_impl=attn_impl, remat=remat)
 
     labels = layout["labels"]
     # next-token prediction: logits[t] predicts labels[t + 1]
