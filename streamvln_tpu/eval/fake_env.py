@@ -1,0 +1,142 @@
+"""Deterministic fake VLN-CE environment — the testable seam.
+
+The reference's own smoke pattern is zero-valued frames through the real
+agent (reference: streamvln_agent.py:312-320); this generalizes it into a
+full Env with the habitat episode API surface used by the eval loop
+(reference: streamvln_eval.py:187-380): reset()/step()/episode_over/
+get_metrics()/episodes, VLN-CE action space (0 STOP, 1 fwd 25cm,
+2 left 15°, 3 right 15°), and observations {rgb, depth, gps, compass}.
+
+Geometry: 2D plane, pose (x, y, heading). Observations are procedurally
+generated from the pose (deterministic, pose-dependent) so models see
+changing inputs. Episodes carry goals + reference paths so every metric
+is computable.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from streamvln_tpu.eval.metrics import EpisodeTracker
+
+FORWARD_STEP = 0.25
+TURN_ANGLE_DEG = 15.0
+
+
+@dataclasses.dataclass
+class FakeEpisode:
+    episode_id: str
+    scene_id: str
+    instruction_text: str
+    start_position: Sequence[float]        # (x, y)
+    start_heading: float
+    goal_position: Sequence[float]         # (x, y)
+    reference_path: Optional[np.ndarray] = None
+
+
+def make_episodes(n: int, seed: int = 0, scenes: int = 2,
+                  max_goal_dist: float = 5.0) -> List[FakeEpisode]:
+    rng = np.random.RandomState(seed)
+    eps = []
+    for i in range(n):
+        start = rng.uniform(-5, 5, 2)
+        angle = rng.uniform(-np.pi, np.pi)
+        dist = rng.uniform(1.5, max_goal_dist)
+        goal = start + dist * np.array([np.cos(angle), np.sin(angle)])
+        ref = np.linspace(start, goal, 6)
+        eps.append(FakeEpisode(
+            episode_id=str(i),
+            scene_id=f"scenes/scene{i % scenes}/scene{i % scenes}.glb",
+            instruction_text=f"Walk {dist:.1f} meters towards the "
+                             f"{'red' if i % 2 else 'blue'} marker.",
+            start_position=start,
+            start_heading=float(rng.uniform(-np.pi, np.pi)),
+            goal_position=goal,
+            reference_path=ref,
+        ))
+    return eps
+
+
+class FakeNavEnv:
+    """habitat.Env-compatible surface for the episode loop."""
+
+    def __init__(self, episodes: List[FakeEpisode],
+                 max_episode_steps: int = 500,
+                 rgb_shape=(480, 640, 3)):
+        self.episodes = episodes
+        self.max_episode_steps = max_episode_steps
+        self.rgb_shape = rgb_shape
+        self.current_episode: Optional[FakeEpisode] = None
+        self._tracker: Optional[EpisodeTracker] = None
+        self._pose = np.zeros(3)
+        self._steps = 0
+        self._over = True
+
+    # -- episode control ------------------------------------------------
+    def reset(self) -> Dict[str, np.ndarray]:
+        ep = self.current_episode or self.episodes[0]
+        self.current_episode = ep
+        self._pose = np.array([ep.start_position[0], ep.start_position[1],
+                               ep.start_heading])
+        self._steps = 0
+        self._over = False
+        self._tracker = EpisodeTracker(
+            goal=np.asarray(ep.goal_position),
+            reference_path=ep.reference_path)
+        self._tracker.reset(self._pose[:2])
+        return self._observe()
+
+    @property
+    def episode_over(self) -> bool:
+        return self._over
+
+    def step(self, action: int) -> Dict[str, np.ndarray]:
+        assert not self._over, "step() after episode end"
+        if action == 0:
+            self._over = True
+            self._tracker.update(self._pose[:2], stop_called=True)
+        else:
+            if action == 1:
+                self._pose[0] += FORWARD_STEP * np.cos(self._pose[2])
+                self._pose[1] += FORWARD_STEP * np.sin(self._pose[2])
+            elif action == 2:
+                self._pose[2] += np.deg2rad(TURN_ANGLE_DEG)
+            elif action == 3:
+                self._pose[2] -= np.deg2rad(TURN_ANGLE_DEG)
+            else:
+                raise ValueError(f"unknown action {action}")
+            self._tracker.update(self._pose[:2])
+        self._steps += 1
+        if self._steps >= self.max_episode_steps:
+            self._over = True
+        return self._observe()
+
+    def get_metrics(self) -> dict:
+        return self._tracker.metrics()
+
+    def close(self):
+        pass
+
+    # -- observations ---------------------------------------------------
+    def _observe(self) -> Dict[str, np.ndarray]:
+        H, W, _ = self.rgb_shape
+        x, y, th = self._pose
+        # procedural pose-dependent pattern (cheap, deterministic)
+        u = np.linspace(0, 4 * np.pi, W, dtype=np.float32)
+        v = np.linspace(0, 3 * np.pi, H, dtype=np.float32)
+        uu, vv = np.meshgrid(u, v)
+        phase = np.float32(x * 2.1 + y * 3.3)
+        r = np.sin(uu + th) * np.cos(vv + phase)
+        g = np.sin(uu * 0.5 + phase) * np.sin(vv + th)
+        b = np.cos(uu + vv + x - y)
+        rgb = np.stack([r, g, b], -1)
+        rgb = ((rgb + 1) * 127.5).astype(np.uint8)
+        depth = np.full((H, W, 1), 2.5, np.float32)
+        return {
+            "rgb": rgb,
+            "depth": depth,
+            "gps": np.array([x, -y], np.float32),   # habitat flips west
+            "compass": np.array([th], np.float32),
+        }

@@ -165,6 +165,9 @@ def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos):
     use_flash = (
         attn_impl in ("flash", "auto")
         and cfg.head_dim % 128 == 0
+        # single-token decode is bandwidth-bound with 1-row MXU blocks —
+        # the dense path (or the dedicated decode kernel) wins there
+        and q.shape[1] >= 64
         and (attn_impl == "flash" or jax.default_backend() == "tpu"))
     if use_flash:
         from streamvln_tpu.ops import flash_attention as fa
