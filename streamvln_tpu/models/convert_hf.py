@@ -1,0 +1,184 @@
+"""HF checkpoint -> streamvln_tpu param tree conversion.
+
+Maps the reference stack's weights (StreamVLNForCausalLM = HF Qwen2 +
+LLaVA multimodal head + SigLIP tower; reference:
+streamvln/model/stream_video_vln.py:32-48, llava/model/llava_arch.py:34-46)
+into our functional pytrees:
+
+- torch Linear weights are [out, in] -> transposed to [in, out]
+- per-layer weights are stacked onto a leading [L] axis (scan layout)
+- SigLIP: only the first 26 encoder layers are used (the reference drops
+  the checkpoint's last layer; siglip_encoder.py:570-571); patch conv
+  [D, 3, P, P] flattens to [(C, ph, pw), D] matching models/siglip.patchify
+- lm_head [V, D] -> [D, V]
+
+Works from (a) a directory of *.safetensors / pytorch_model*.bin, or
+(b) an in-memory {name: np.ndarray} dict (tests).
+"""
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from streamvln_tpu.configs import Qwen2Config, SigLIPConfig, StreamVLNConfig
+
+Array = np.ndarray
+
+
+def _stack(state: Dict[str, Array], fmt: str, n: int,
+           transpose: bool = False) -> Array:
+    mats = []
+    for i in range(n):
+        w = state[fmt.format(i)]
+        mats.append(w.T if transpose else w)
+    return np.stack(mats)
+
+
+def convert_qwen2(state: Dict[str, Array], cfg: Qwen2Config,
+                  prefix: str = "model.", dtype=jnp.bfloat16) -> dict:
+    L = cfg.num_layers
+    p = prefix
+
+    def t(name):  # transposed linear
+        return state[name].T
+
+    layers = {
+        "ln1": _stack(state, p + "layers.{}.input_layernorm.weight", L),
+        "q_w": _stack(state, p + "layers.{}.self_attn.q_proj.weight", L,
+                      transpose=True),
+        "q_b": _stack(state, p + "layers.{}.self_attn.q_proj.bias", L),
+        "k_w": _stack(state, p + "layers.{}.self_attn.k_proj.weight", L,
+                      transpose=True),
+        "k_b": _stack(state, p + "layers.{}.self_attn.k_proj.bias", L),
+        "v_w": _stack(state, p + "layers.{}.self_attn.v_proj.weight", L,
+                      transpose=True),
+        "v_b": _stack(state, p + "layers.{}.self_attn.v_proj.bias", L),
+        "o_w": _stack(state, p + "layers.{}.self_attn.o_proj.weight", L,
+                      transpose=True),
+        "ln2": _stack(state,
+                      p + "layers.{}.post_attention_layernorm.weight", L),
+        "gate_w": _stack(state, p + "layers.{}.mlp.gate_proj.weight", L,
+                         transpose=True),
+        "up_w": _stack(state, p + "layers.{}.mlp.up_proj.weight", L,
+                       transpose=True),
+        "down_w": _stack(state, p + "layers.{}.mlp.down_proj.weight", L,
+                         transpose=True),
+    }
+    params = {
+        "embed": state[p + "embed_tokens.weight"],
+        "layers": layers,
+        "final_norm": state[p + "norm.weight"],
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = t("lm_head.weight")
+    return _to_device(params, dtype)
+
+
+def convert_siglip(state: Dict[str, Array], cfg: SigLIPConfig,
+                   prefix: str = "vision_model.",
+                   dtype=jnp.bfloat16) -> dict:
+    L = cfg.num_layers   # 26: checkpoint's last layer dropped
+    p = prefix
+    D, P = cfg.hidden_size, cfg.patch_size
+    conv = state[p + "embeddings.patch_embedding.weight"]  # [D, 3, P, P]
+    patch_w = conv.reshape(D, 3 * P * P).T                 # [(C,ph,pw), D]
+
+    lp = p + "encoder.layers.{}."
+    layers = {
+        "ln1_s": _stack(state, lp + "layer_norm1.weight", L),
+        "ln1_b": _stack(state, lp + "layer_norm1.bias", L),
+        "q_w": _stack(state, lp + "self_attn.q_proj.weight", L, True),
+        "q_b": _stack(state, lp + "self_attn.q_proj.bias", L),
+        "k_w": _stack(state, lp + "self_attn.k_proj.weight", L, True),
+        "k_b": _stack(state, lp + "self_attn.k_proj.bias", L),
+        "v_w": _stack(state, lp + "self_attn.v_proj.weight", L, True),
+        "v_b": _stack(state, lp + "self_attn.v_proj.bias", L),
+        "o_w": _stack(state, lp + "self_attn.out_proj.weight", L, True),
+        "o_b": _stack(state, lp + "self_attn.out_proj.bias", L),
+        "ln2_s": _stack(state, lp + "layer_norm2.weight", L),
+        "ln2_b": _stack(state, lp + "layer_norm2.bias", L),
+        "fc1_w": _stack(state, lp + "mlp.fc1.weight", L, True),
+        "fc1_b": _stack(state, lp + "mlp.fc1.bias", L),
+        "fc2_w": _stack(state, lp + "mlp.fc2.weight", L, True),
+        "fc2_b": _stack(state, lp + "mlp.fc2.bias", L),
+    }
+    params = {
+        "patch_w": patch_w,
+        "patch_b": state[p + "embeddings.patch_embedding.bias"],
+        "pos_embed": state[p + "embeddings.position_embedding.weight"],
+        "layers": layers,
+    }
+    return _to_device(params, dtype)
+
+
+def convert_projector(state: Dict[str, Array], projector_type: str,
+                      prefix: str = "mm_projector.",
+                      dtype=jnp.bfloat16) -> dict:
+    """mlpNx_gelu: torch Sequential indices 0, 2, 4... are Linears."""
+    from streamvln_tpu.models.projector import parse_type
+    depth = parse_type(projector_type)
+    layers = []
+    for i in range(depth):
+        idx = i * 2
+        layers.append({
+            "w": state[f"{prefix}{idx}.weight"].T,
+            "b": state[f"{prefix}{idx}.bias"],
+        })
+    return _to_device({"layers": layers}, dtype)
+
+
+def convert_streamvln(state: Dict[str, Array], cfg: StreamVLNConfig,
+                      dtype=jnp.bfloat16) -> dict:
+    """Full StreamVLN checkpoint (HF save of StreamVLNForCausalLM):
+    LLM under 'model.', tower under
+    'model.vision_tower.vision_tower.vision_model.', projector under
+    'model.mm_projector.'."""
+    return {
+        "llm": convert_qwen2(state, cfg.llm, prefix="model.", dtype=dtype),
+        "vision": convert_siglip(
+            state, cfg.vision,
+            prefix="model.vision_tower.vision_tower.vision_model.",
+            dtype=dtype),
+        "projector": convert_projector(
+            state, cfg.projector_type, prefix="model.mm_projector.",
+            dtype=dtype),
+    }
+
+
+def _to_device(tree, dtype):
+    import jax
+    return jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), dtype=dtype), tree)
+
+
+# ---------------------------------------------------------------------------
+# File loading
+# ---------------------------------------------------------------------------
+
+def load_state_dict(path: str) -> Dict[str, Array]:
+    """Read all tensors from a HF checkpoint dir (safetensors or torch
+    .bin shards) into numpy."""
+    state: Dict[str, Array] = {}
+    st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if st_files:
+        from safetensors.numpy import load_file
+        for f in st_files:
+            state.update(load_file(f))
+        return state
+    bin_files = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin")))
+    if bin_files:
+        import torch
+        for f in bin_files:
+            sd = torch.load(f, map_location="cpu", weights_only=True)
+            state.update({k: v.float().numpy() for k, v in sd.items()})
+        return state
+    raise FileNotFoundError(f"no checkpoint shards in {path}")
+
+
+def load_streamvln_checkpoint(path: str, cfg: StreamVLNConfig,
+                              dtype=jnp.bfloat16) -> dict:
+    return convert_streamvln(load_state_dict(path), cfg, dtype)
