@@ -68,13 +68,14 @@ class EpisodeTracker:
         self.shortest_dist: Optional[float] = None
 
     def reset(self, start_position):
-        start = np.asarray(start_position, np.float64)
+        start = np.array(start_position, np.float64)  # copy: callers may
+        # pass views of a live pose buffer
         self.positions = [start]
         self.shortest_dist = euclidean(start, self.goal)
         self.min_distance = self.shortest_dist
 
     def update(self, position, stop_called: bool = False):
-        pos = np.asarray(position, np.float64)
+        pos = np.array(position, np.float64)  # copy (see reset)
         self.path_length += euclidean(self.positions[-1], pos)
         self.positions.append(pos)
         self.steps_taken += 1

@@ -1,0 +1,114 @@
+"""Evaluation entry point (streamvln_eval parity CLI).
+
+Reference arg surface (reference: streamvln/streamvln_eval.py:489-534):
+--model_path --habitat_config_path --eval_split --output_path
+--num_future_steps --num_frames --num_history --model_max_length
+--world_size/--rank plus distributed init. Env backend: habitat-sim when
+importable (real benchmark), else the deterministic FakeNavEnv (CI /
+smoke); metric aggregation is host-side.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def build_agent(model_path: Optional[str], model_size: str = "7b",
+                num_frames: int = 32, num_future_steps: int = 4,
+                num_history: int = 8, model_max_length: int = 4096,
+                cache_capacity: int = 4096, max_new_tokens: int = 16):
+    import jax
+    import jax.numpy as jnp
+    from streamvln_tpu import configs
+    from streamvln_tpu.agent import VLNAgent
+    from streamvln_tpu.data.tokenizer import load_tokenizer
+    from streamvln_tpu.models import convert_hf, streamvln
+    from streamvln_tpu.streaming.engine import StreamingEngine
+    from streamvln_tpu.train import build_config
+
+    args = argparse.Namespace(
+        model_size=model_size, spatial_pool_mode="bilinear",
+        num_frames=num_frames, num_future_steps=num_future_steps,
+        num_history=num_history)
+    cfg = build_config(args)
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
+        else jnp.float32
+    tok = load_tokenizer(model_path, model_max_length)
+    if model_path and os.path.isdir(model_path) and any(
+            f.endswith((".safetensors", ".bin"))
+            for f in os.listdir(model_path)):
+        params = convert_hf.load_streamvln_checkpoint(model_path, cfg,
+                                                      dtype)
+    else:
+        params = streamvln.init(jax.random.PRNGKey(0), cfg, dtype)
+    stop = {tok.im_end_id}
+    if hasattr(tok, "eos_id"):
+        stop.add(tok.eos_id)
+    engine = StreamingEngine(
+        params, cfg, n_envs=1, cache_capacity=cache_capacity,
+        max_new_tokens=max_new_tokens, stop_ids=tuple(stop),
+        compute_dtype=dtype)
+    return VLNAgent(engine, tok, deterministic_conjunction=False)
+
+
+def make_env(backend: str, split: str, num_episodes: int, seed: int,
+             habitat_config_path: Optional[str]):
+    if backend == "habitat":
+        try:
+            from streamvln_tpu.eval.habitat_backend import make_habitat_env
+            return make_habitat_env(habitat_config_path, split)
+        except ImportError as e:
+            raise SystemExit(
+                f"habitat backend requested but unavailable: {e}; "
+                f"use --env_backend fake for simulator-free runs")
+    from streamvln_tpu.eval.fake_env import FakeNavEnv, make_episodes
+    return FakeNavEnv(make_episodes(num_episodes, seed=seed))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--model_size", type=str, default="7b")
+    p.add_argument("--habitat_config_path", type=str,
+                   default="config/vln_r2r.yaml")
+    p.add_argument("--eval_split", type=str, default="val_unseen")
+    p.add_argument("--output_path", type=str,
+                   default="./results/val_unseen/streamvln")
+    p.add_argument("--num_future_steps", type=int, default=4)
+    p.add_argument("--num_frames", type=int, default=32)
+    p.add_argument("--num_history", type=int, default=8)
+    p.add_argument("--model_max_length", type=int, default=4096)
+    p.add_argument("--env_backend", choices=["habitat", "fake"],
+                   default="fake")
+    p.add_argument("--num_episodes", type=int, default=8,
+                   help="fake backend episode count")
+    p.add_argument("--max_steps_per_episode", type=int, default=None)
+    p.add_argument("--rank", type=int,
+                   default=int(os.environ.get("RANK", 0)))
+    p.add_argument("--world_size", type=int,
+                   default=int(os.environ.get("WORLD_SIZE", 1)))
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from streamvln_tpu.eval.evaluator import VLNEvaluator
+
+    agent = build_agent(
+        args.model_path, args.model_size, args.num_frames,
+        args.num_future_steps, args.num_history, args.model_max_length)
+    env = make_env(args.env_backend, args.eval_split, args.num_episodes,
+                   args.seed, args.habitat_config_path)
+    ev = VLNEvaluator(env, agent, args.output_path, rank=args.rank,
+                      world_size=args.world_size,
+                      max_steps_per_episode=args.max_steps_per_episode)
+    partial = ev.eval_action()
+    final = ev.aggregate([partial])
+    print(json.dumps(final))
+    return final
+
+
+if __name__ == "__main__":
+    main()
