@@ -154,6 +154,13 @@ class VLNActionDataset:
         }
 
     def _load_images(self, paths: List[str]) -> np.ndarray:
+        # fast path: threaded C++ decode+resize+normalize (native/)
+        # whenever no python-side augmentation is requested
+        if self.transform is None:
+            from streamvln_tpu import native
+            if native.available():
+                return native.load_preprocess_jpegs(
+                    paths, self.image_size)
         from PIL import Image
         raw = []
         for p in paths:

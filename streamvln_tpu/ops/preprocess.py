@@ -32,6 +32,9 @@ def preprocess_frames(frames_u8: jax.Array, size: int = TARGET_SIZE,
     x = frames_u8.astype(jnp.float32)
     n = frames_u8.shape[0]
     x = jax.image.resize(x, (n, size, size, 3), method="cubic")
+    # PIL clips bicubic overshoot back to the u8 range before rescale;
+    # match it (reference: SigLipImageProcessor resize on uint8)
+    x = jnp.clip(x, 0.0, 255.0)
     x = x * (1.0 / 255.0)
     x = (x - IMAGE_MEAN) / IMAGE_STD
     return x.astype(dtype)
