@@ -58,17 +58,31 @@ def _prefill_decode(
     cache: KVCache,
     feat_cache: jax.Array,        # [B, slots, tpf, D]
     frame: jax.Array,             # [B, H, W, 3] uint8 (camera res)
-    hist_slots: jax.Array,        # [B, num_history] int32 slot indices
-    write_slot: jax.Array,        # [B] int32 slot for the current frame
-    token_ids: jax.Array,         # [B, T] layout
-    is_vision: jax.Array,         # [B, T]
-    vision_index: jax.Array,      # [B, T] into the (H+1)*tpf vision pool
-    lengths: jax.Array,           # [B] real token counts
+    packed: jax.Array,            # [B, 3, T] int32: ids/is_vision/vidx
+    meta: jax.Array,              # [B, num_history + 3] int32:
+    #   hist_slots..., write_slot, length, active
     max_new: int,
     stop_ids: Tuple[int, ...],
     attn_impl: str = "auto",
 ):
-    """Returns (out_tokens [B, max_new], n_out [B], cache, feat_cache)."""
+    """One streaming call, a single device dispatch. All per-call host
+    data rides in TWO uploads (frame + packed ints) — critical when the
+    host<->device link has per-transfer latency (tunneled TPUs; and it
+    also minimizes PCIe round-trips on directly-attached hosts).
+
+    Returns (out [B, 1 + max_new] int32: n_out then tokens, cache,
+    feat_cache). Inactive rows (meta active=0) keep their KV lengths.
+    """
+    token_ids = packed[:, 0, :]
+    is_vision = packed[:, 1, :].astype(bool)
+    vision_index = packed[:, 2, :]
+    nh = cfg.num_history
+    hist_slots = meta[:, :nh]
+    write_slot = meta[:, nh]
+    lengths = meta[:, nh + 1]
+    active = meta[:, nh + 2].astype(bool)
+    saved_length = cache.length
+
     B, T = token_ids.shape
     tpf = cfg.tokens_per_frame
     compute_dtype = feat_cache.dtype
@@ -144,7 +158,14 @@ def _prefill_decode(
     has_stop = jnp.any(stop_mask, axis=1)
     first_stop = jnp.argmax(stop_mask, axis=1)
     n_out = jnp.where(has_stop, first_stop + 1, n_steps)
-    return out, n_out, cache, feat_cache
+
+    # inactive rows keep their pre-call KV lengths (their dummy writes
+    # land past the kept length and are never attended)
+    cache = KVCache(cache.k, cache.v,
+                    jnp.where(active, cache.length, saved_length))
+    result = jnp.concatenate(
+        [jnp.where(active, n_out, 0)[:, None], out], axis=1)
+    return result, cache, feat_cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
@@ -277,9 +298,9 @@ class StreamingEngine:
             layout.vision_index = layout.vision_index + np.int32(
                 self.cfg.num_history * self.cfg.tokens_per_frame)
 
-        out, n_out, self.cache, self.feat_cache = self._call_jit(
-            layout, frame_u8, hist_slots, write_slot, env)
-        toks = [int(t) for t in np.asarray(out[env])[: int(n_out[env])]]
+        out = self._call_jit(layout, frame_u8, hist_slots, write_slot,
+                             env)
+        toks = [int(t) for t in out]
         if toks:
             st.pending_token = toks[-1]
         return toks
@@ -313,37 +334,27 @@ class StreamingEngine:
     def _call_jit(self, layout, frame_u8, hist_slots, write_slot, env):
         B = self.n_envs
         T = len(layout.token_ids)
-        token_ids = np.zeros((B, T), np.int32)
-        is_vision = np.zeros((B, T), bool)
-        vision_index = np.zeros((B, T), np.int32)
-        lengths = np.ones((B,), np.int32)  # inactive rows: 1 dummy token
-        token_ids[env] = layout.token_ids
-        is_vision[env] = layout.is_vision
-        vision_index[env] = layout.vision_index
-        lengths[env] = layout.length
+        nh = self.cfg.num_history
+
+        packed = np.zeros((B, 3, T), np.int32)
+        packed[env, 0] = layout.token_ids
+        packed[env, 1] = layout.is_vision
+        packed[env, 2] = layout.vision_index
+
+        meta = np.zeros((B, nh + 3), np.int32)
+        meta[:, nh + 1] = 1                   # inactive rows: 1 dummy tok
+        meta[env, :nh] = hist_slots
+        meta[env, nh] = write_slot
+        meta[env, nh + 1] = layout.length
+        meta[env, nh + 2] = 1                 # active
 
         frames = np.zeros((B,) + frame_u8.shape, frame_u8.dtype)
         frames[env] = frame_u8
-        hs = np.zeros((B, self.cfg.num_history), np.int32)
-        hs[env] = hist_slots
-        ws = np.zeros((B,), np.int32)
-        ws[env] = write_slot
 
-        # inactive rows must not advance their KV length: zero new_lengths
-        saved_len = self.cache.length
-        out, n_out, cache, feat_cache = _prefill_decode(
+        result, self.cache, self.feat_cache = _prefill_decode(
             self.params, self.cfg, self.cache, self.feat_cache,
-            jnp.asarray(frames), jnp.asarray(hs), jnp.asarray(ws),
-            jnp.asarray(token_ids), jnp.asarray(is_vision),
-            jnp.asarray(vision_index), jnp.asarray(lengths),
+            jnp.asarray(frames), jnp.asarray(packed), jnp.asarray(meta),
             self.max_new, self.stop_ids, self.attn_impl)
-        # restore lengths of inactive rows (their dummy writes are masked
-        # out by never being attended past their unchanged length)
-        row = np.zeros((B,), bool)
-        row[env] = True
-        cache = KVCache(cache.k, cache.v,
-                        jnp.where(jnp.asarray(row), cache.length,
-                                  saved_len))
-        self.cache = cache
-        self.feat_cache = feat_cache
-        return out, n_out, cache, feat_cache
+        res = np.asarray(result[env])         # single download
+        n_out = int(res[0])
+        return res[1: 1 + n_out]
