@@ -45,6 +45,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_history", type=int, default=8)
     p.add_argument("--video_folders", type=str, required=True,
                    help="comma-separated trajectory folders")
+    p.add_argument("--cotrain_yaml", type=str, default=None,
+                   help="stage-2 co-training mixture yaml "
+                        "(QA/SCANQA/MMC4 groups)")
+    p.add_argument("--media_root_qa", type=str, default="")
+    p.add_argument("--media_root_scanqa", type=str, default="")
+    p.add_argument("--media_root_mmc4", type=str, default="")
     p.add_argument("--remove_init_turns", action="store_true")
     p.add_argument("--data_augmentation", action="store_true")
     p.add_argument("--model_max_length", type=int, default=32768)
@@ -151,6 +157,15 @@ def main(argv: Optional[List[str]] = None):
     datasets = [VLNActionDataset(
         tok, cfg, args.video_folders.split(","), transform=transform,
         remove_init_turns=args.remove_init_turns, seed=args.seed)]
+    if args.cotrain_yaml:
+        from streamvln_tpu.data.cotrain_datasets import (
+            build_cotraining_datasets)
+        datasets += build_cotraining_datasets(
+            tok, cfg, args.cotrain_yaml,
+            media_roots={"qa": args.media_root_qa,
+                         "scanqa": args.media_root_scanqa,
+                         "mmc4": args.media_root_mmc4},
+            seed=args.seed)
     dataset = CombineDataset(datasets)
     sampler = TaskGroupedBatchSampler(dataset.task_ids, args.batch_size,
                                       seed=args.seed)
