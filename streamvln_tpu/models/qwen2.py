@@ -179,9 +179,24 @@ def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos):
                            logits_soft_cap=cfg.attn_logits_soft_cap)
 
 
+def _proj(x, p, name, lora_scale=None):
+    """x @ p[name] (+ bias if present) with optional LoRA delta."""
+    out = jnp.dot(x, p[name], preferred_element_type=jnp.float32)
+    bias = p.get(name[:-2] + "_b") if name.endswith("_w") else None
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    a = p.get(name + "_lora_a")
+    if a is not None and lora_scale is not None:
+        low = jnp.dot(x.astype(jnp.float32), a.astype(jnp.float32))
+        delta = jnp.dot(low, p[name + "_lora_b"].astype(jnp.float32))
+        out = out + delta * lora_scale
+    return out.astype(x.dtype)
+
+
 def _layer_step(cfg: Qwen2Config, attn_impl: str,
                 carry, layer_params,
-                positions, k_pos, cache_kv=None, cache_offsets=None):
+                positions, k_pos, cache_kv=None, cache_offsets=None,
+                lora_scale=None):
     """One decoder block. carry = hidden states [B, S, Dm].
 
     k_pos: positions of keys — in-sequence positions (no cache) or cache
@@ -193,15 +208,9 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     h = rms_norm(x, p["ln1"], cfg.rms_norm_eps)
-    q = (jnp.dot(h, p["q_w"], preferred_element_type=jnp.float32)
-         + p["q_b"].astype(jnp.float32)).astype(x.dtype)
-    k = (jnp.dot(h, p["k_w"], preferred_element_type=jnp.float32)
-         + p["k_b"].astype(jnp.float32)).astype(x.dtype)
-    v = (jnp.dot(h, p["v_w"], preferred_element_type=jnp.float32)
-         + p["v_b"].astype(jnp.float32)).astype(x.dtype)
-    q = q.reshape(B, S, Hq, Dh)
-    k = k.reshape(B, S, Hkv, Dh)
-    v = v.reshape(B, S, Hkv, Dh)
+    q = _proj(h, p, "q_w", lora_scale).reshape(B, S, Hq, Dh)
+    k = _proj(h, p, "k_w", lora_scale).reshape(B, S, Hkv, Dh)
+    v = _proj(h, p, "v_w", lora_scale).reshape(B, S, Hkv, Dh)
 
     q = apply_rope(q, positions, cfg.rope_theta)
     k = apply_rope(k, positions, cfg.rope_theta)
@@ -217,12 +226,14 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
         new_cache = None
 
     attn = attn.reshape(B, S, Hq * Dh)
-    attn_out = jnp.dot(attn, p["o_w"],
-                       preferred_element_type=jnp.float32).astype(x.dtype)
-    x = x + attn_out
+    x = x + _proj(attn, p, "o_w", lora_scale)
 
     h = rms_norm(x, p["ln2"], cfg.rms_norm_eps)
-    x = x + swiglu(h, p["gate_w"], p["up_w"], p["down_w"])
+    gate = _proj(h, p, "gate_w", lora_scale)
+    up = _proj(h, p, "up_w", lora_scale)
+    act = (jax.nn.silu(gate.astype(jnp.float32))
+           * up.astype(jnp.float32)).astype(x.dtype)
+    x = x + _proj(act, p, "down_w", lora_scale)
     return x, new_cache
 
 
@@ -260,12 +271,15 @@ def forward(
             (B, cache.capacity))
         offsets = cache.length
 
+        lora_scale = params.get("lora_scale")
+
         def step(carry, xs):
             x = carry
             lp, ck, cv = xs
             x, (nk, nv) = _layer_step(
                 cfg, attn_impl, x, lp, positions, k_pos,
-                cache_kv=(ck, cv), cache_offsets=offsets)
+                cache_kv=(ck, cv), cache_offsets=offsets,
+                lora_scale=lora_scale)
             return x, (nk, nv)
 
         step_fn = jax.checkpoint(step) if remat else step
@@ -278,8 +292,11 @@ def forward(
         else:
             k_pos = jnp.where(valid, positions, INVALID_POS)
 
+        lora_scale = params.get("lora_scale")
+
         def step(carry, lp):
-            x, _ = _layer_step(cfg, attn_impl, carry, lp, positions, k_pos)
+            x, _ = _layer_step(cfg, attn_impl, carry, lp, positions,
+                               k_pos, lora_scale=lora_scale)
             return x, None
 
         step_fn = jax.checkpoint(step) if remat else step

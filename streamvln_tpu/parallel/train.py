@@ -44,6 +44,7 @@ class TrainConfig:
     freeze_vision: bool = False
     freeze_projector: bool = False
     freeze_llm: bool = False
+    lora_only: bool = False    # train only LoRA adapters (PEFT parity)
     remat: bool = True
     attn_impl: str = "auto"
 
@@ -60,9 +61,14 @@ def _schedule(tcfg: TrainConfig, peak: float):
         0.0, peak, warmup, max(tcfg.total_steps, warmup + 1))
 
 
-def _label_params(params):
+def _label_params(params, lora_only: bool = False):
+    from streamvln_tpu.models.lora import is_lora_path
+
     def one(path, _):
-        top = mesh_lib._path_str(path).split("/")[0]
+        s = mesh_lib._path_str(path)
+        if lora_only:
+            return "lora" if is_lora_path(s) else "frozen"
+        top = s.split("/")[0]
         return top if top in ("vision", "projector", "llm") else "llm"
     return jax.tree_util.tree_map_with_path(one, params)
 
@@ -74,6 +80,14 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
             optax.adamw(_schedule(tcfg, peak), b1=tcfg.b1, b2=tcfg.b2,
                         eps=tcfg.eps, weight_decay=tcfg.weight_decay),
         )
+
+    if tcfg.lora_only:
+        transforms = {
+            "lora": adamw(tcfg.learning_rate),
+            "frozen": optax.set_to_zero(),
+        }
+        return optax.multi_transform(
+            transforms, lambda p: _label_params(p, lora_only=True))
 
     transforms = {
         "vision": optax.set_to_zero() if tcfg.freeze_vision else
