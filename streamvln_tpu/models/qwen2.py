@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from streamvln_tpu.configs import Qwen2Config
-from streamvln_tpu.ops.attention import dense_attention, mha_attention
+from streamvln_tpu.ops.attention import (
+    dense_attention, dense_attention_kvmajor, mha_attention)
 
 Params = dict
 
@@ -82,7 +83,10 @@ def swiglu(x: jax.Array, gate_w, up_w, down_w) -> jax.Array:
 class KVCache:
     """Fixed-capacity per-layer KV buffers with per-row fill lengths.
 
-    k, v: [L, B, Smax, Hkv, D]; length: [B] int32 (tokens currently cached).
+    k, v: [L, B, Hkv, Smax, D] — KV-head-major, the canonical TPU cache
+    layout: the last two dims (Smax, D) are the hardware-tiled ones, so
+    per-head sequence slices (decode-kernel DMAs, appends) stay aligned.
+    length: [B] int32 (tokens currently cached).
     """
     k: jax.Array
     v: jax.Array
@@ -91,14 +95,14 @@ class KVCache:
     @classmethod
     def create(cls, cfg: Qwen2Config, batch: int, capacity: int,
                dtype=jnp.bfloat16) -> "KVCache":
-        shape = (cfg.num_layers, batch, capacity, cfg.num_kv_heads,
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, capacity,
                  cfg.head_dim)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    length=jnp.zeros((batch,), jnp.int32))
 
     @property
     def capacity(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     def reset_rows(self, row_mask: jax.Array) -> "KVCache":
         """Zero the lengths of selected rows (cheap window reset — stale KV
@@ -109,10 +113,12 @@ class KVCache:
 
 def _append_rows(buf: jax.Array, new: jax.Array,
                  offsets: jax.Array) -> jax.Array:
-    """buf: [B, Smax, H, D]; new: [B, S, H, D]; offsets: [B]."""
+    """buf: [B, Hkv, Smax, D]; new: [B, S, Hkv, D]; offsets: [B]."""
+    new_t = new.transpose(0, 2, 1, 3)        # [B, Hkv, S, D]
+
     def one(row, n, off):
-        return jax.lax.dynamic_update_slice(row, n, (off, 0, 0))
-    return jax.vmap(one)(buf, new, offsets)
+        return jax.lax.dynamic_update_slice(row, n, (0, off, 0))
+    return jax.vmap(one)(buf, new_t, offsets)
 
 
 # ---------------------------------------------------------------------------
@@ -158,18 +164,34 @@ def init(rng: jax.Array, cfg: Qwen2Config,
 # Forward
 # ---------------------------------------------------------------------------
 
-def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos):
+def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos,
+            kv_major: bool = False):
     """Attention with visibility rule `k_pos <= q_pos` (invalid keys carry
-    a huge k_pos). Dispatches to the Pallas flash kernel on TPU when the
-    shapes qualify, else dense XLA with the equivalent mask."""
-    use_flash = (
-        attn_impl in ("flash", "auto")
-        and cfg.head_dim % 128 == 0
-        # single-token decode is bandwidth-bound with 1-row MXU blocks —
-        # the dense path (or the dedicated decode kernel) wins there
-        and q.shape[1] >= 64
-        and (attn_impl == "flash" or jax.default_backend() == "tpu"))
-    if use_flash:
+    a huge k_pos). Dispatch:
+    - S==1 on a KV-major cache + TPU: Pallas ring-buffer decode kernel
+      (DMAs only the live prefix; ops/decode_attention.py)
+    - S>=64 prefill/training + TPU, 128-aligned head dim: Pallas flash
+    - otherwise dense XLA with the equivalent mask."""
+    on_tpu = jax.default_backend() == "tpu"
+    kernels_ok = attn_impl in ("flash", "auto") and \
+        cfg.head_dim % 128 == 0 and (attn_impl == "flash" or on_tpu)
+
+    if kv_major:
+        if kernels_ok and q.shape[1] == 1 \
+                and k.shape[2] % 512 == 0:
+            from streamvln_tpu.ops import decode_attention as da
+            # visible keys for a single query at pos p: indices 0..p
+            return da.decode_attention(q, k, v, q_pos[:, 0] + 1)
+        if kernels_ok and q.shape[1] >= 64:
+            from streamvln_tpu.ops import flash_attention as fa
+            return fa.flash_attention(
+                q, k, v, q_pos, k_pos, kv_major=True,
+                logits_soft_cap=cfg.attn_logits_soft_cap)
+        mask = k_pos[:, None, :] <= q_pos[:, :, None]
+        return dense_attention_kvmajor(
+            q, k, v, mask, logits_soft_cap=cfg.attn_logits_soft_cap)
+
+    if kernels_ok and q.shape[1] >= 64:
         from streamvln_tpu.ops import flash_attention as fa
         return fa.flash_attention(
             q, k, v, q_pos, k_pos,
@@ -217,9 +239,10 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
 
     if cache_kv is not None:
         ck, cv = cache_kv
-        ck = _append_rows(ck, k, cache_offsets)   # [B, Smax, Hkv, Dh]
+        ck = _append_rows(ck, k, cache_offsets)   # [B, Hkv, Smax, Dh]
         cv = _append_rows(cv, v, cache_offsets)
-        attn = _attend(cfg, attn_impl, q, ck, cv, positions, k_pos)
+        attn = _attend(cfg, attn_impl, q, ck, cv, positions, k_pos,
+                       kv_major=True)
         new_cache = (ck, cv)
     else:
         attn = _attend(cfg, attn_impl, q, k, v, positions, k_pos)

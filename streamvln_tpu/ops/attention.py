@@ -57,6 +57,32 @@ def dense_attention(
     return out.reshape(B, Sq, Hq, D).astype(q.dtype)
 
 
+def dense_attention_kvmajor(
+    q: jax.Array,            # [B, Sq, Hq, D]
+    k: jax.Array,            # [B, Hkv, Sk, D]  (cache layout)
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,   # [B, Sq, Sk] bool
+    scale: Optional[float] = None,
+    logits_soft_cap: Optional[float] = None,
+) -> jax.Array:
+    """dense_attention over KV-head-major cache buffers (no transpose)."""
+    B, Sq, Hq, D = q.shape
+    _, Hkv, Sk, _ = k.shape
+    G = Hq // Hkv
+    if scale is None:
+        scale = D ** -0.5
+    qf = q.astype(jnp.float32).reshape(B, Sq, Hkv, G, D)
+    logits = jnp.einsum("bqhgd,bhkd->bhgqk", qf,
+                        k.astype(jnp.float32)) * scale
+    if logits_soft_cap is not None:
+        logits = jnp.tanh(logits / logits_soft_cap) * logits_soft_cap
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgqk,bhkd->bqhgd", probs, v.astype(jnp.float32))
+    return out.reshape(B, Sq, Hq, D).astype(q.dtype)
+
+
 def make_causal_mask(
     q_positions: jax.Array,   # [B, Sq] global positions of queries
     k_positions: jax.Array,   # [Sk] or [B, Sk] global positions of keys

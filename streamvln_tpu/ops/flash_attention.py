@@ -99,10 +99,11 @@ def _flash_kernel(q_pos_ref, k_pos_ref,       # scalar-prefetch-like inputs
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "logits_soft_cap", "block_q", "block_k",
-                     "interpret"))
+                     "interpret", "kv_major"))
 def flash_attention(
     q: jax.Array,                 # [B, Sq, Hq, D]
-    k: jax.Array,                 # [B, Sk, Hkv, D]
+    k: jax.Array,                 # [B, Sk, Hkv, D] (or [B, Hkv, Sk, D]
+    #                               when kv_major=True — cache layout)
     v: jax.Array,
     q_positions: Optional[jax.Array] = None,   # [B, Sq] int32
     k_positions: Optional[jax.Array] = None,   # [B, Sk] int32
@@ -112,13 +113,20 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
+    kv_major: bool = False,
 ) -> jax.Array:
     """Causal-by-position flash attention. Defaults to plain causal."""
     if mask is not None:
         raise NotImplementedError(
             "flash kernel takes q_positions/k_positions, not a dense mask")
+    if kv_major:
+        # cache layout [B, Hkv, Sk, D] is already kernel layout
+        pass
     B, Sq, Hq, D = q.shape
-    _, Sk, Hkv, _ = k.shape
+    if kv_major:
+        _, Hkv, Sk, _ = k.shape
+    else:
+        _, Sk, Hkv, _ = k.shape
     G = Hq // Hkv
     if scale is None:
         scale = D ** -0.5
@@ -139,8 +147,11 @@ def flash_attention(
         q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
         q_positions = jnp.pad(q_positions, ((0, 0), (0, pad_q)))
     if pad_k:
-        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        seq_axis = 2 if kv_major else 1
+        padding = [(0, 0)] * 4
+        padding[seq_axis] = (0, pad_k)
+        k = jnp.pad(k, padding)
+        v = jnp.pad(v, padding)
         k_positions = jnp.pad(k_positions, ((0, 0), (0, pad_k)),
                               constant_values=INVALID_POS)
     Sq_p, Sk_p = Sq + pad_q, Sk + pad_k
@@ -148,8 +159,8 @@ def flash_attention(
 
     # kernel layout [B, H, S, D]
     qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
+    kt = k if kv_major else k.transpose(0, 2, 1, 3)
+    vt = v if kv_major else v.transpose(0, 2, 1, 3)
 
     grid = (B, Hq, n_q, n_k)
 
