@@ -40,6 +40,8 @@ def main():
 
     if model_name == "qwen2-7b":
         cfg = configs.streamvln_7b()
+    elif model_name == "qwen2-7b-int8":
+        cfg = configs.streamvln_7b()
     elif model_name == "qwen2-1.5b":
         cfg = configs.StreamVLNConfig(vision=configs.siglip_so400m(),
                                       llm=configs.qwen2_1_5b())
@@ -50,7 +52,19 @@ def main():
         cfg = configs.tiny_streamvln()
 
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
-    params = streamvln.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    if model_name.endswith("-int8"):
+        from streamvln_tpu.models import projector as proj_lib
+        from streamvln_tpu.models import quant, siglip
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        params = {
+            "vision": siglip.init(k1, cfg.vision, dtype),
+            "projector": proj_lib.init(
+                k2, cfg.projector_type, cfg.vision.hidden_size,
+                cfg.llm.hidden_size, dtype),
+            "llm": quant.init_quantized_llm(k3, cfg.llm, dtype),
+        }
+    else:
+        params = streamvln.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     tok = ByteTokenizer()
     engine = StreamingEngine(
         params, cfg, n_envs=1, cache_capacity=4096,

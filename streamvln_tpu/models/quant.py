@@ -1,0 +1,139 @@
+"""Int8 weight-only quantization for the LLM matmuls.
+
+Replaces the reference's bitsandbytes 4/8-bit load path (reference:
+streamvln_train.py:1564-1600) with a TPU-native scheme: per-output-channel
+symmetric int8 for the large projection weights. Storage drops 2x vs
+bf16 (the 7B stack fits a single 16 GB v5e chip); the matmul runs
+int8 x int8? No — weights-only: activations stay bf16, the weight is
+dequantized INSIDE the fused matmul (XLA folds `w_int8 * scale` into the
+HBM->MXU pipeline, so the bandwidth saving is realized — decode at bs=1
+is weight-bandwidth-bound, so this is also ~2x decode speed at 7B).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+QUANT_TARGETS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
+
+
+def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[..., din, dout] -> (int8 values, f32 scales [..., 1, dout])."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def quantize_llm(params: dict,
+                 targets: Sequence[str] = QUANT_TARGETS,
+                 quantize_embed: bool = False) -> dict:
+    """Quantize the LLM layer-stack projections (and optionally lm_head /
+    embed). Returns a new params tree with `<name>` as int8 and
+    `<name>_scale` alongside."""
+    llm = dict(params["llm"])
+    layers = dict(llm["layers"])
+    for name in targets:
+        q, scale = quantize_weight(layers[name])
+        layers[name] = q
+        layers[name + "_scale"] = scale
+    llm["layers"] = layers
+    if "lm_head" in llm:
+        q, scale = quantize_weight(llm["lm_head"])
+        llm["lm_head"] = q
+        llm["lm_head_scale"] = scale
+    if quantize_embed:
+        # embed rows are gathered, not matmul'd: quantize per-row
+        emb = llm["embed"].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(emb), axis=-1, keepdims=True)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        llm["embed"] = jnp.clip(jnp.round(emb / scale), -127,
+                                127).astype(jnp.int8)
+        llm["embed_scale"] = scale.astype(jnp.float32)
+    out = dict(params)
+    out["llm"] = llm
+    return out
+
+
+def init_quantized_llm(rng: jax.Array, cfg, compute_dtype=jnp.bfloat16,
+                       quantize_embed: bool = True) -> dict:
+    """Random-init the LLM directly into int8 (layer-by-layer, so peak
+    transient memory is one unstacked weight — lets the 7B stack be
+    built on a 16 GB chip)."""
+    import numpy as np
+    from streamvln_tpu.configs import Qwen2Config  # noqa: F401
+
+    L, Dm, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    Hq, Hkv, Dh, V = (cfg.num_heads, cfg.num_kv_heads, cfg.head_dim,
+                      cfg.vocab_size)
+
+    def q_dense(key, shape, fan_in):
+        @jax.jit
+        def one(k):
+            w = jax.random.normal(k, shape[1:], jnp.float32) \
+                * (fan_in ** -0.5)
+            return quantize_weight(w)
+        qs, scales = [], []
+        keys = jax.random.split(key, shape[0])
+        for i in range(shape[0]):
+            qi, si = one(keys[i])
+            qs.append(qi)
+            scales.append(si)
+        return jnp.stack(qs), jnp.stack(scales)
+
+    keys = jax.random.split(rng, 16)
+    layers = {
+        "ln1": jnp.ones((L, Dm), compute_dtype),
+        "q_b": jnp.zeros((L, Hq * Dh), compute_dtype),
+        "k_b": jnp.zeros((L, Hkv * Dh), compute_dtype),
+        "v_b": jnp.zeros((L, Hkv * Dh), compute_dtype),
+        "ln2": jnp.ones((L, Dm), compute_dtype),
+    }
+    for i, (name, shape, fan) in enumerate([
+            ("q_w", (L, Dm, Hq * Dh), Dm),
+            ("k_w", (L, Dm, Hkv * Dh), Dm),
+            ("v_w", (L, Dm, Hkv * Dh), Dm),
+            ("o_w", (L, Hq * Dh, Dm), Hq * Dh),
+            ("gate_w", (L, Dm, F), Dm),
+            ("up_w", (L, Dm, F), Dm),
+            ("down_w", (L, F, Dm), F)]):
+        qv, sc = q_dense(keys[i], shape, fan)
+        layers[name] = qv
+        layers[name + "_scale"] = sc
+
+    params = {"layers": layers,
+              "final_norm": jnp.ones((Dm,), compute_dtype)}
+
+    @jax.jit
+    def emb_fp(k):
+        return jax.random.normal(k, (V, Dm), jnp.float32) * (Dm ** -0.5)
+
+    emb = emb_fp(keys[8])
+    if quantize_embed:
+        amax = jnp.max(jnp.abs(emb), axis=-1, keepdims=True)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        params["embed"] = jnp.clip(jnp.round(emb / scale), -127,
+                                   127).astype(jnp.int8)
+        params["embed_scale"] = scale.astype(compute_dtype)
+    else:
+        params["embed"] = emb.astype(compute_dtype)
+    del emb
+    if not cfg.tie_word_embeddings:
+        head = emb_fp(keys[9]).T
+        q, s = quantize_weight(head)
+        params["lm_head"] = q
+        params["lm_head_scale"] = s
+    return params
+
+
+def maybe_dequant(p: dict, name: str, compute_dtype=jnp.bfloat16):
+    """Weight leaf for matmul: int8 -> scaled compute dtype (fused by
+    XLA into the consuming dot), other dtypes pass through."""
+    w = p[name]
+    if w.dtype == jnp.int8:
+        return (w.astype(compute_dtype)
+                * p[name + "_scale"].astype(compute_dtype))
+    return w

@@ -202,8 +202,12 @@ def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos,
 
 
 def _proj(x, p, name, lora_scale=None):
-    """x @ p[name] (+ bias if present) with optional LoRA delta."""
-    out = jnp.dot(x, p[name], preferred_element_type=jnp.float32)
+    """x @ p[name] (+ bias if present) with optional LoRA delta.
+    int8 weights (models/quant.py) dequantize inside the dot."""
+    w = p[name]
+    if w.dtype == jnp.int8:
+        w = w.astype(x.dtype) * p[name + "_scale"].astype(x.dtype)
+    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
     bias = p.get(name[:-2] + "_b") if name.endswith("_w") else None
     if bias is not None:
         out = out + bias.astype(jnp.float32)
@@ -330,6 +334,9 @@ def forward(
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
+    elif head.dtype == jnp.int8:
+        head = head.astype(x.dtype) * params["lm_head_scale"].astype(
+            x.dtype)
     logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
     return logits, new_cache
 
@@ -338,4 +345,7 @@ def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
     """Token embedding lookup; sentinel/negative ids map to zeros."""
     safe = jnp.maximum(input_ids, 0)
     emb = jnp.take(params["embed"], safe, axis=0)
+    if emb.dtype == jnp.int8:
+        scale = jnp.take(params["embed_scale"], safe, axis=0)
+        emb = emb.astype(scale.dtype) * scale
     return jnp.where((input_ids >= 0)[..., None], emb, 0)

@@ -1,0 +1,102 @@
+"""Controller + model worker serve stack tests."""
+import json
+import threading
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamvln_tpu.agent import VLNAgent
+from streamvln_tpu.configs import tiny_streamvln
+from streamvln_tpu.data.tokenizer import ByteTokenizer
+from streamvln_tpu.models import streamvln
+from streamvln_tpu.serve.controller import (
+    Controller, serve_controller)
+from streamvln_tpu.serve.model_worker import ModelWorker, serve_worker
+from streamvln_tpu.streaming.engine import StreamingEngine
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read().decode())
+
+
+def test_controller_registry_and_dispatch():
+    ctrl = Controller("shortest_queue")
+    ctrl.register_worker("http://w1", True,
+                         {"model_names": ["m"], "queue_length": 5})
+    ctrl.register_worker("http://w2", True,
+                         {"model_names": ["m"], "queue_length": 1})
+    ctrl.register_worker("http://w3", True,
+                         {"model_names": ["other"], "queue_length": 0})
+    assert ctrl.list_models() == ["m", "other"]
+    assert ctrl.get_worker_address("m") == "http://w2"
+    # queue incremented -> next dispatch may differ; heartbeat resets
+    ctrl.heartbeat("http://w2", 0)
+    assert ctrl.get_worker_address("m") == "http://w2"
+    assert ctrl.get_worker_address("missing") == ""
+
+
+def test_controller_lottery_respects_models():
+    ctrl = Controller("lottery")
+    ctrl.register_worker("http://a", True, {"model_names": ["x"]})
+    for _ in range(10):
+        assert ctrl.get_worker_address("x") == "http://a"
+
+
+def test_controller_expiry():
+    ctrl = Controller()
+    ctrl.register_worker("http://old", True, {"model_names": ["m"]})
+    ctrl.workers["http://old"].last_heart_beat -= 1000
+    ctrl.expire_stale()
+    assert not ctrl.workers
+
+
+@pytest.fixture(scope="module")
+def stack():
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    engine = StreamingEngine(
+        params, cfg, stop_ids=(tok.im_end_id,),
+        compute_dtype=jnp.float32, max_new_tokens=4,
+        cache_capacity=2048, buckets=(512, 768, 1024))
+    agent = VLNAgent(engine, tok)
+
+    ctrl = Controller()
+    ctrl_srv = serve_controller(ctrl, "127.0.0.1", 0)
+    threading.Thread(target=ctrl_srv.serve_forever, daemon=True).start()
+    ctrl_url = f"http://127.0.0.1:{ctrl_srv.server_address[1]}"
+
+    worker = ModelWorker(agent, tok, "streamvln-tiny",
+                         worker_addr="http://127.0.0.1:0",
+                         controller_addr=ctrl_url)
+    w_srv = serve_worker(worker, "127.0.0.1", 0)
+    worker.worker_addr = f"http://127.0.0.1:{w_srv.server_address[1]}"
+    threading.Thread(target=w_srv.serve_forever, daemon=True).start()
+    worker.register()
+    yield ctrl_url, worker.worker_addr
+    ctrl_srv.shutdown()
+    w_srv.shutdown()
+
+
+def test_end_to_end_dispatch_and_generate(stack):
+    ctrl_url, worker_url = stack
+    models = _post(ctrl_url + "/list_models", {})["models"]
+    assert models == ["streamvln-tiny"]
+    addr = _post(ctrl_url + "/get_worker_address",
+                 {"model": "streamvln-tiny"})["address"]
+    assert addr == worker_url
+    out = _post(addr + "/worker_generate",
+                {"prompt": "walk to the kitchen"})
+    assert out["error_code"] == 0
+    assert isinstance(out["text"], str)
+    assert isinstance(out["actions"], list)
+    status = _post(addr + "/worker_get_status", {})
+    assert status["model_names"] == ["streamvln-tiny"]
