@@ -35,8 +35,8 @@ def main():
     backend = jax.default_backend()
     model_name = os.environ.get("BENCH_MODEL", "auto")
     if model_name == "auto":
-        # single v5e chip (16 GB): 7B bf16 (15.2 GB + vision) won't fit
-        model_name = "qwen2-1.5b" if backend == "tpu" else "tiny"
+        # flagship: full 7B with int8 weights fits the 16 GB chip
+        model_name = "qwen2-7b-int8" if backend == "tpu" else "tiny"
 
     if model_name == "qwen2-7b":
         cfg = configs.streamvln_7b()

@@ -253,16 +253,8 @@ class StreamingEngine:
         raise ValueError(f"sequence length {n} exceeds largest bucket "
                          f"{self.buckets[-1]}")
 
-    def generate(
-        self,
-        env: int,
-        frame_u8: np.ndarray,            # [H, W, 3] uint8 current frame
-        turn_ids: np.ndarray,            # int32 ids incl. sentinels
-        step_id: int,
-        history_steps: Sequence[int] = (),
-    ) -> List[int]:
-        """Run one model call for one env. Returns generated token ids
-        (up to and including the stop token)."""
+    def _prepare_request(self, env: int, frame_u8, turn_ids, step_id,
+                         history_steps, pad_to: int):
         st = self.envs[env]
         ids = list(map(int, turn_ids))
         if st.pending_token is not None:
@@ -287,8 +279,7 @@ class StreamingEngine:
         st.next_slot += 1
 
         layout = streamvln.build_splice_layout(
-            np.asarray(ids, np.int32), self.cfg,
-            pad_to=self._bucket(self._expanded_len(ids)))
+            np.asarray(ids, np.int32), self.cfg, pad_to=pad_to)
         # vision pool layout: memory slots first, current frame last —
         # matches build_splice_layout's consumption order (<memory>
         # precedes <image> in every prompt that has both).
@@ -297,13 +288,77 @@ class StreamingEngine:
             # current frame -> shift indices up by num_history frames
             layout.vision_index = layout.vision_index + np.int32(
                 self.cfg.num_history * self.cfg.tokens_per_frame)
+        return layout, hist_slots, write_slot
 
-        out = self._call_jit(layout, frame_u8, hist_slots, write_slot,
-                             env)
-        toks = [int(t) for t in out]
-        if toks:
-            st.pending_token = toks[-1]
-        return toks
+    def generate(
+        self,
+        env: int,
+        frame_u8: np.ndarray,            # [H, W, 3] uint8 current frame
+        turn_ids: np.ndarray,            # int32 ids incl. sentinels
+        step_id: int,
+        history_steps: Sequence[int] = (),
+    ) -> List[int]:
+        """Run one model call for one env. Returns generated token ids
+        (up to and including the stop token)."""
+        return self.generate_batch(
+            [(env, frame_u8, turn_ids, step_id, history_steps)])[env]
+
+    def generate_batch(self, requests) -> dict:
+        """Run model calls for SEVERAL envs in one device dispatch.
+
+        requests: iterable of (env, frame_u8, turn_ids, step_id,
+        history_steps). All envs decode together (the deployed
+        multi-env-per-chip mode; the reference instead runs one env per
+        GPU — SURVEY §2.5.6). Returns {env: token list}.
+        """
+        requests = list(requests)
+        assert requests
+        envs = [r[0] for r in requests]
+        assert len(set(envs)) == len(envs), "duplicate env in batch"
+
+        # shared bucket: max expanded length over the batch
+        def ids_with_pending(env, turn_ids):
+            ids = list(map(int, turn_ids))
+            if self.envs[env].pending_token is not None:
+                ids = [self.envs[env].pending_token] + ids
+            return ids
+        pad_to = self._bucket(max(
+            self._expanded_len(ids_with_pending(r[0], r[2]))
+            for r in requests))
+
+        B = self.n_envs
+        nh = self.cfg.num_history
+        packed = np.zeros((B, 3, pad_to), np.int32)
+        meta = np.zeros((B, nh + 3), np.int32)
+        meta[:, nh + 1] = 1                   # inactive rows: 1 dummy tok
+        frame_shape = requests[0][1].shape
+        frames = np.zeros((B,) + frame_shape, requests[0][1].dtype)
+
+        for env, frame_u8, turn_ids, step_id, history_steps in requests:
+            layout, hist_slots, write_slot = self._prepare_request(
+                env, frame_u8, turn_ids, step_id, history_steps, pad_to)
+            packed[env, 0] = layout.token_ids
+            packed[env, 1] = layout.is_vision
+            packed[env, 2] = layout.vision_index
+            meta[env, :nh] = hist_slots
+            meta[env, nh] = write_slot
+            meta[env, nh + 1] = layout.length
+            meta[env, nh + 2] = 1             # active
+            frames[env] = frame_u8
+
+        result, self.cache, self.feat_cache = _prefill_decode(
+            self.params, self.cfg, self.cache, self.feat_cache,
+            jnp.asarray(frames), jnp.asarray(packed), jnp.asarray(meta),
+            self.max_new, self.stop_ids, self.attn_impl)
+        res = np.asarray(result)              # single download
+        out = {}
+        for env in envs:
+            n_out = int(res[env, 0])
+            toks = [int(t) for t in res[env, 1: 1 + n_out]]
+            if toks:
+                self.envs[env].pending_token = toks[-1]
+            out[env] = toks
+        return out
 
     def backfill(self, env: int, frame_u8: np.ndarray, step_id: int):
         """Encode a history frame that was never seen at a model call

@@ -1,0 +1,72 @@
+"""Batched multi-env generation == sequential per-env generation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamvln_tpu.configs import tiny_streamvln
+from streamvln_tpu.data import chatml
+from streamvln_tpu.data.tokenizer import ByteTokenizer
+from streamvln_tpu.models import streamvln
+from streamvln_tpu.streaming.engine import StreamingEngine
+
+
+def _turn(tok, text, add_system):
+    ids, _ = chatml.tokenize_dialogue(tok, [("user", text)],
+                                      add_system=add_system,
+                                      with_labels=False)
+    return np.concatenate([ids, np.asarray(chatml.generation_prompt(tok),
+                                           np.int32)])
+
+
+def test_batched_matches_sequential():
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+
+    def mk():
+        return StreamingEngine(
+            params, cfg, n_envs=3, stop_ids=(tok.im_end_id,),
+            compute_dtype=jnp.float32, max_new_tokens=5,
+            cache_capacity=1024, buckets=(512, 768, 1024))
+
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (48, 64, 3), np.uint8)
+              for _ in range(3)]
+    prompts = ["go to the chair", "turn around", "exit the room"]
+    turns = [_turn(tok, chatml.observation_prompt(None, p), True)
+             for p in prompts]
+
+    seq_engine = mk()
+    seq_out = {e: seq_engine.generate(e, frames[e], turns[e], step_id=0)
+               for e in range(3)}
+
+    bat_engine = mk()
+    bat_out = bat_engine.generate_batch(
+        [(e, frames[e], turns[e], 0, ()) for e in range(3)])
+    assert bat_out == seq_out
+
+    # second round (continuation turns) also matches, incl. pending token
+    cont = [_turn(tok, chatml.observation_prompt(None, ""), False)
+            for _ in range(3)]
+    seq2 = {e: seq_engine.generate(e, frames[e], cont[e], step_id=2)
+            for e in range(3)}
+    bat2 = bat_engine.generate_batch(
+        [(e, frames[e], cont[e], 2, ()) for e in range(3)])
+    assert bat2 == seq2
+
+
+def test_batched_subset_of_envs():
+    """Only some envs active: inactive rows' caches untouched."""
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    engine = StreamingEngine(
+        params, cfg, n_envs=3, stop_ids=(tok.im_end_id,),
+        compute_dtype=jnp.float32, max_new_tokens=4,
+        cache_capacity=1024, buckets=(512, 768))
+    rng = np.random.RandomState(1)
+    frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    t = _turn(tok, chatml.observation_prompt(None, "hello"), True)
+    engine.generate_batch([(0, frame, t, 0, ()), (2, frame, t, 0, ())])
+    lengths = np.asarray(engine.cache.length)
+    assert lengths[0] > 0 and lengths[2] > 0 and lengths[1] == 0
