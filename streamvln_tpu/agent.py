@@ -96,25 +96,14 @@ class VLNAgent:
         return list(range(0, t0, stride))
 
     # ------------------------------------------------------------------
-    def step(self, idx: int, rgb: np.ndarray, instruction_text: str = "",
-             run_model: bool = False
-             ) -> Tuple[Optional[List[int]], float, Optional[str]]:
-        """One env step. Returns (action_seq, generate_time, llm_text);
-        (None, 0, None) on non-model steps — reference signature parity
-        (streamvln_agent.py:169-258)."""
+    def prepare_model_step(self, idx: int, rgb: np.ndarray,
+                           instruction_text: str = "") -> dict:
+        """Host-side half of a model step: record the frame, build the
+        turn (+memory/history), backfill missing history features.
+        Returns the engine request for generate/generate_batch; call
+        finish_model_step(idx) after the engine call."""
         self.time_ids[idx].append(self.step_id[idx])
         self.rgb_list[idx].append(rgb)
-
-        if not run_model:
-            # window-reset bookkeeping happens on the step BEFORE the
-            # boundary call (reference: streamvln_agent.py:192-199)
-            if (self.step_id[idx] + 1) % self.cfg.num_frames == 0:
-                self.engine.reset_for_env(idx)
-                self.in_dialogue[idx] = False
-                self.time_ids[idx] = []
-            self.step_id[idx] += 1
-            return None, 0.0, None
-
         step = self.step_id[idx]
         boundary = (not self.in_dialogue[idx]) and step != 0
         turn_ids = self._build_turn(idx, instruction_text,
@@ -128,20 +117,46 @@ class VLNAgent:
             self.in_dialogue[idx] = False
             turn_ids = self._build_turn(idx, instruction_text,
                                         with_memory=False)
-
         for s in history:
             self.engine.backfill(idx, self.rgb_list[idx][s], s)
+        return {"slot": idx,
+                "request": (idx, rgb, turn_ids, step, tuple(history))}
 
-        t0 = time.perf_counter()
-        out_tokens = self.engine.generate(
-            idx, rgb, turn_ids, step_id=step, history_steps=history)
-        gen_time = time.perf_counter() - t0
+    def finish_model_step(self, idx: int):
         self.in_dialogue[idx] = True
+        self.step_id[idx] += 1
+
+    def step(self, idx: int, rgb: np.ndarray, instruction_text: str = "",
+             run_model: bool = False, depth: Optional[np.ndarray] = None,
+             pose: Optional[np.ndarray] = None,
+             intrinsic: Optional[np.ndarray] = None
+             ) -> Tuple[Optional[List[int]], float, Optional[str]]:
+        """One env step. Returns (action_seq, generate_time, llm_text);
+        (None, 0, None) on non-model steps — reference signature parity
+        (streamvln_agent.py:169-258). depth/pose/intrinsic are accepted
+        for API parity and unused by the released RGB-only path
+        (reference: streamvln_agent.py:171-174, SURVEY §2.7)."""
+        if not run_model:
+            self.time_ids[idx].append(self.step_id[idx])
+            self.rgb_list[idx].append(rgb)
+            # window-reset bookkeeping happens on the step BEFORE the
+            # boundary call (reference: streamvln_agent.py:192-199)
+            if (self.step_id[idx] + 1) % self.cfg.num_frames == 0:
+                self.engine.reset_for_env(idx)
+                self.in_dialogue[idx] = False
+                self.time_ids[idx] = []
+            self.step_id[idx] += 1
+            return None, 0.0, None
+
+        req = self.prepare_model_step(idx, rgb, instruction_text)
+        t0 = time.perf_counter()
+        out_tokens = self.engine.generate_batch([req["request"]])[idx]
+        gen_time = time.perf_counter() - t0
+        self.finish_model_step(idx)
 
         text = self.tok.decode(out_tokens)
         actions = chatml.parse_actions(text)
         if not actions:
             actions = [0]
         self.action_seq[idx] = list(actions)
-        self.step_id[idx] += 1
         return actions, gen_time, text

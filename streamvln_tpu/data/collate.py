@@ -118,6 +118,41 @@ class TaskGroupedBatchSampler:
         return n
 
 
+class LengthGroupedBatchSampler:
+    """Group similarly-sized samples into batches to minimize padding
+    (reference: llava/train/llava_trainer.py:223-268
+    LengthGroupedSampler / modality-length grouping). Batches are built
+    from megachunks sorted by length, then shuffled."""
+
+    def __init__(self, lengths: Sequence[int], batch_size: int,
+                 seed: int = 0, mega_factor: int = 50):
+        self.lengths = np.asarray(lengths)
+        self.batch_size = batch_size
+        self.seed = seed
+        self.mega = batch_size * mega_factor
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        order = rng.permutation(len(self.lengths))
+        batches = []
+        for start in range(0, len(order), self.mega):
+            chunk = order[start: start + self.mega]
+            chunk = chunk[np.argsort(self.lengths[chunk])[::-1]]
+            for b in range(0, len(chunk), self.batch_size):
+                batch = chunk[b: b + self.batch_size]
+                if len(batch) == self.batch_size:
+                    batches.append(batch)
+        for i in rng.permutation(len(batches)):
+            yield list(map(int, batches[i]))
+
+    def __len__(self):
+        n = 0
+        for start in range(0, len(self.lengths), self.mega):
+            n += min(self.mega,
+                     len(self.lengths) - start) // self.batch_size
+        return n
+
+
 class CombineDataset:
     """Concatenation of task datasets (reference:
     streamvln_train.py:902-931)."""
