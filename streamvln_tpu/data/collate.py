@@ -153,6 +153,41 @@ class LengthGroupedBatchSampler:
         return n
 
 
+class RobustDataset:
+    """Retry ladder around flaky __getitem__ (corrupt images, transient
+    fs errors): 3 tries on the same index, then 3 tries on neighbouring
+    indices, then raise (reference: streamvln_train.py:1109-1140)."""
+
+    def __init__(self, dataset, same_retries: int = 3,
+                 neighbor_retries: int = 3):
+        self.dataset = dataset
+        self.same_retries = same_retries
+        self.neighbor_retries = neighbor_retries
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)
+
+    def __getitem__(self, i: int):
+        last: Exception = None
+        for _ in range(self.same_retries):
+            try:
+                return self.dataset[i]
+            except Exception as e:  # noqa: BLE001 — retry ladder
+                last = e
+        for step in range(1, self.neighbor_retries + 1):
+            j = (i + step) % len(self.dataset)
+            try:
+                return self.dataset[j]
+            except Exception as e:  # noqa: BLE001
+                last = e
+        raise RuntimeError(
+            f"sample {i} and {self.neighbor_retries} neighbours all "
+            f"failed") from last
+
+
 class CombineDataset:
     """Concatenation of task datasets (reference:
     streamvln_train.py:902-931)."""

@@ -33,6 +33,7 @@ class VLNEvaluator:
     def __init__(self, env, agent: VLNAgent, output_path: str,
                  rank: int = 0, world_size: int = 1,
                  epoch: int = 0, save_obs: bool = False,
+                 save_video: bool = False,
                  max_steps_per_episode: Optional[int] = None):
         self.env = env
         self.agent = agent
@@ -43,6 +44,7 @@ class VLNEvaluator:
         self.rank = rank
         self.world_size = world_size
         self.epoch = epoch
+        self.save_video = save_video
         self.max_steps = max_steps_per_episode
         os.makedirs(output_path, exist_ok=True)
 
@@ -76,7 +78,14 @@ class VLNEvaluator:
         action_queue: List[int] = []
         step_id = 0
         nf = agent.cfg.num_frames
+        vis_frames: List = []
         while not env.episode_over:
+            if self.save_video:
+                from streamvln_tpu.utils.visualize import (
+                    append_text_underneath_image)
+                vis_frames.append(append_text_underneath_image(
+                    observations["rgb"],
+                    f"step {step_id}: {episode.instruction_text[:60]}"))
             run_model = len(action_queue) == 0
             actions, _, _ = agent.step(
                 0, observations["rgb"], episode.instruction_text,
@@ -99,6 +108,22 @@ class VLNEvaluator:
         metrics = env.get_metrics()
         scene_id = episode.scene_id.split("/")[-2] \
             if "/" in episode.scene_id else episode.scene_id
+        if self.save_video and vis_frames:
+            from streamvln_tpu.utils.visualize import (
+                draw_top_down_map, images_to_video)
+            vis_dir = os.path.join(self.output_path,
+                                   f"vis_{self.epoch}")
+            images_to_video(vis_frames, vis_dir,
+                            f"{scene_id}_{episode.episode_id}")
+            tracker = getattr(env, "_tracker", None)
+            if tracker is not None and tracker.positions:
+                from PIL import Image
+                topdown = draw_top_down_map(
+                    tracker.positions, tracker.goal,
+                    getattr(episode, "reference_path", None))
+                Image.fromarray(topdown).save(os.path.join(
+                    vis_dir,
+                    f"{scene_id}_{episode.episode_id}_map.png"))
         result = {
             "scene_id": scene_id,
             "episode_id": episode.episode_id,

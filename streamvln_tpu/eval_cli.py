@@ -87,6 +87,7 @@ def main(argv=None):
     p.add_argument("--num_episodes", type=int, default=8,
                    help="fake backend episode count")
     p.add_argument("--max_steps_per_episode", type=int, default=None)
+    p.add_argument("--save_video", action="store_true", default=False)
     p.add_argument("--rank", type=int,
                    default=int(os.environ.get("RANK", 0)))
     p.add_argument("--world_size", type=int,
@@ -103,6 +104,7 @@ def main(argv=None):
                    args.seed, args.habitat_config_path)
     ev = VLNEvaluator(env, agent, args.output_path, rank=args.rank,
                       world_size=args.world_size,
+                      save_video=args.save_video,
                       max_steps_per_episode=args.max_steps_per_episode)
     partial = ev.eval_action()
     final = ev.aggregate([partial])

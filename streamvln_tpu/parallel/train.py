@@ -45,6 +45,9 @@ class TrainConfig:
     freeze_projector: bool = False
     freeze_llm: bool = False
     lora_only: bool = False    # train only LoRA adapters (PEFT parity)
+    # micro-batch accumulation (reference: bs 2 x grad-accum 2 per GPU,
+    # scripts/streamvln_train_slurm.sh:55-60)
+    grad_accum_steps: int = 1
     remat: bool = True
     attn_impl: str = "auto"
 
@@ -86,18 +89,21 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
             "lora": adamw(tcfg.learning_rate),
             "frozen": optax.set_to_zero(),
         }
-        return optax.multi_transform(
+        opt = optax.multi_transform(
             transforms, lambda p: _label_params(p, lora_only=True))
-
-    transforms = {
-        "vision": optax.set_to_zero() if tcfg.freeze_vision else
-        adamw(tcfg.vision_lr or tcfg.learning_rate),
-        "projector": optax.set_to_zero() if tcfg.freeze_projector else
-        adamw(tcfg.projector_lr or tcfg.learning_rate),
-        "llm": optax.set_to_zero() if tcfg.freeze_llm else
-        adamw(tcfg.learning_rate),
-    }
-    return optax.multi_transform(transforms, _label_params)
+    else:
+        transforms = {
+            "vision": optax.set_to_zero() if tcfg.freeze_vision else
+            adamw(tcfg.vision_lr or tcfg.learning_rate),
+            "projector": optax.set_to_zero() if tcfg.freeze_projector
+            else adamw(tcfg.projector_lr or tcfg.learning_rate),
+            "llm": optax.set_to_zero() if tcfg.freeze_llm else
+            adamw(tcfg.learning_rate),
+        }
+        opt = optax.multi_transform(transforms, _label_params)
+    if tcfg.grad_accum_steps > 1:
+        opt = optax.MultiSteps(opt, tcfg.grad_accum_steps)
+    return opt
 
 
 def create_train_state(params, tcfg: TrainConfig) -> TrainState:

@@ -1,0 +1,67 @@
+"""Terminal chat CLI (reference surface: llava/serve/cli.py — interactive
+image + instruction chat against a loaded model).
+
+Usage:
+  python -m streamvln_tpu.serve.cli --model_size tiny \
+      [--image path.jpg] [--instruction "..."]
+Interactive: type instructions; 'reset' clears the dialogue; 'exit'
+quits. Non-interactive: pass --instruction for a single turn.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", default=None)
+    p.add_argument("--model_size", default="7b")
+    p.add_argument("--image", default=None)
+    p.add_argument("--instruction", default=None,
+                   help="single-turn mode: answer once and exit")
+    p.add_argument("--num_frames", type=int, default=32)
+    p.add_argument("--num_future_steps", type=int, default=4)
+    p.add_argument("--num_history", type=int, default=8)
+    args = p.parse_args(argv)
+
+    from streamvln_tpu.eval_cli import build_agent
+    agent = build_agent(args.model_path, args.model_size,
+                        args.num_frames, args.num_future_steps,
+                        args.num_history)
+
+    if args.image:
+        from PIL import Image
+        rgb = np.asarray(Image.open(args.image).convert("RGB"))
+    else:
+        rgb = np.zeros((480, 640, 3), np.uint8)
+
+    def one_turn(text):
+        actions, gen_t, out = agent.step(0, rgb, text, run_model=True)
+        print(json.dumps({"text": out, "actions": actions,
+                          "generate_s": round(gen_t, 3)}), flush=True)
+
+    if args.instruction is not None:
+        one_turn(args.instruction)
+        return
+
+    print("streamvln chat — type an instruction ('reset'/'exit')",
+          flush=True)
+    for line in sys.stdin:
+        text = line.strip()
+        if not text:
+            continue
+        if text == "exit":
+            break
+        if text == "reset":
+            agent.reset_memory(0)
+            print("(dialogue reset)", flush=True)
+            continue
+        one_turn(text)
+
+
+if __name__ == "__main__":
+    main()

@@ -190,6 +190,9 @@ class EnvState:
     frame_slots: dict = dataclasses.field(default_factory=dict)
     # step_id -> feature-cache slot for encoded frames
     next_slot: int = 0
+    # host shadow of the device KV length (exact: prefill length +
+    # decode tokens fed); used for overflow checks without device reads
+    kv_length: int = 0
 
 
 class StreamingEngine:
@@ -231,6 +234,7 @@ class StreamingEngine:
                              jnp.zeros_like(self.cache.length))
         for e in self.envs:
             e.pending_token = None
+            e.kv_length = 0
 
     def reset_for_env(self, env: int):
         """Window reset: drop dialogue KV; the frame-feature cache is
@@ -239,6 +243,7 @@ class StreamingEngine:
         mask[env] = True
         self.cache = self.cache.reset_rows(jnp.asarray(mask))
         self.envs[env].pending_token = None
+        self.envs[env].kv_length = 0
 
     def reset_episode(self, env: int):
         self.reset_for_env(env)
@@ -334,9 +339,19 @@ class StreamingEngine:
         frame_shape = requests[0][1].shape
         frames = np.zeros((B,) + frame_shape, requests[0][1].dtype)
 
+        cap = self.cache.capacity
+        prefill_lens = {}
         for env, frame_u8, turn_ids, step_id, history_steps in requests:
             layout, hist_slots, write_slot = self._prepare_request(
                 env, frame_u8, turn_ids, step_id, history_steps, pad_to)
+            worst = self.envs[env].kv_length + layout.length \
+                + self.max_new
+            if worst > cap:
+                raise RuntimeError(
+                    f"env {env}: KV cache would overflow "
+                    f"({worst} > capacity {cap}); raise cache_capacity "
+                    f"or shorten the window/prompt")
+            prefill_lens[env] = layout.length
             packed[env, 0] = layout.token_ids
             packed[env, 1] = layout.is_vision
             packed[env, 2] = layout.vision_index
@@ -357,6 +372,10 @@ class StreamingEngine:
             toks = [int(t) for t in res[env, 1: 1 + n_out]]
             if toks:
                 self.envs[env].pending_token = toks[-1]
+            # device KV grew by the prefill plus each decode token fed
+            # (the final emitted token is pending, not yet in KV)
+            self.envs[env].kv_length += prefill_lens[env] \
+                + max(n_out - 1, 0)
             out[env] = toks
         return out
 

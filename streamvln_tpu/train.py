@@ -64,6 +64,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_steps", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=8,
                    help="global batch size")
+    p.add_argument("--grad_accum_steps", type=int, default=1)
     p.add_argument("--freeze_vision", action="store_true")
     p.add_argument("--freeze_projector", action="store_true")
     p.add_argument("--no_remat", action="store_true")
@@ -150,13 +151,15 @@ def main(argv: Optional[List[str]] = None):
         total_steps=args.num_steps,
         freeze_vision=args.freeze_vision,
         freeze_projector=args.freeze_projector,
+        grad_accum_steps=args.grad_accum_steps,
         remat=not args.no_remat)
 
     tok = load_tokenizer(args.model_path, args.model_max_length)
     transform = build_transform(args.data_augmentation, args.seed)
-    datasets = [VLNActionDataset(
+    from streamvln_tpu.data.collate import RobustDataset
+    datasets = [RobustDataset(VLNActionDataset(
         tok, cfg, args.video_folders.split(","), transform=transform,
-        remove_init_turns=args.remove_init_turns, seed=args.seed)]
+        remove_init_turns=args.remove_init_turns, seed=args.seed))]
     if args.cotrain_yaml:
         from streamvln_tpu.data.cotrain_datasets import (
             build_cotraining_datasets)
