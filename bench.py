@@ -51,6 +51,8 @@ def main():
     else:
         cfg = configs.tiny_streamvln()
 
+    n_envs = int(os.environ.get("BENCH_ENVS", "1"))
+    max_new = int(os.environ.get("BENCH_MAX_NEW", "12"))
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
     if model_name.endswith("-int8"):
         from streamvln_tpu.models import projector as proj_lib
@@ -67,8 +69,9 @@ def main():
         params = streamvln.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     tok = ByteTokenizer()
     engine = StreamingEngine(
-        params, cfg, n_envs=1, cache_capacity=4096,
-        max_new_tokens=12, stop_ids=(tok.im_end_id,),
+        params, cfg, n_envs=n_envs, cache_capacity=4096,
+        feat_slots=40,
+        max_new_tokens=max_new, stop_ids=(tok.im_end_id,),
         compute_dtype=dtype,
         buckets=(512, 768, 1024, 2304, 2560, 3072))
 
@@ -94,18 +97,22 @@ def main():
 
     def run_episode(n_steps, record):
         engine.reset()
-        engine.reset_episode(0)
+        for e in range(n_envs):
+            engine.reset_episode(e)
         lat = []
         for step in range(0, n_steps, nfs):
             frame = rng.randint(0, 255, (480, 640, 3), np.uint8)
             boundary = step != 0 and step % nf == 0
             if boundary:
-                engine.reset_for_env(0)
+                for e in range(n_envs):
+                    engine.reset_for_env(e)
             hist = list(range(0, step, step // nh)) if boundary else []
             ids = turn_ids(first=(step == 0), memory=boundary)
             t0 = time.perf_counter()
-            out = engine.generate(0, frame, ids, step_id=step,
-                                  history_steps=hist)
+            # all envs advance in lockstep: one batched dispatch per call
+            engine.generate_batch(
+                [(e, frame, ids, step, tuple(hist))
+                 for e in range(n_envs)])
             jax.block_until_ready(engine.cache.length)
             lat.append(time.perf_counter() - t0)
         if record:
@@ -116,8 +123,8 @@ def main():
     lat = run_episode(2 * nf, record=True)     # timed: 2 windows
 
     per_call_p50 = float(np.percentile(lat, 50))
-    # one call covers num_future_steps env steps
-    step_hz = nfs / per_call_p50
+    # one call covers num_future_steps env steps, for every env at once
+    step_hz = nfs * n_envs / per_call_p50
     result = {
         "metric": "per_step_action_decode_p50",
         "value": round(step_hz, 3),
@@ -126,10 +133,11 @@ def main():
         "config": {
             "model": model_name,
             "backend": backend,
+            "n_envs": n_envs,
             "per_call_p50_ms": round(per_call_p50 * 1000, 2),
             "per_call_mean_ms": round(float(np.mean(lat)) * 1000, 2),
             "calls": len(lat),
-            "max_new_tokens": 12,
+            "max_new_tokens": max_new,
         },
     }
     print(json.dumps(result))

@@ -66,42 +66,53 @@ class BatchedVLNEvaluator:
             start(slot)
 
         while any(ep is not None for ep in current):
-            # 1. gather slots needing a model call; others do non-model
-            #    bookkeeping steps through the agent
+            # 1. classify slots; build model requests (host-side prep)
             requests = []
+            queued_slots = []
             for slot in range(self.n):
                 if current[slot] is None:
                     continue
                 if action_q[slot]:
-                    self.agent.step(slot, obs[slot]["rgb"],
-                                    current[slot].instruction_text,
-                                    run_model=False)
+                    queued_slots.append(slot)
                 else:
-                    req = self.agent.prepare_model_step(
+                    requests.append(self.agent.prepare_model_step(
                         slot, obs[slot]["rgb"],
-                        current[slot].instruction_text)
-                    requests.append(req)
+                        current[slot].instruction_text))
 
-            # 2. one batched device dispatch for all model calls
-            if requests:
-                outs = self.engine.generate_batch(
-                    [r["request"] for r in requests])
+            # 2. dispatch the batched model call WITHOUT blocking
+            handle = self.engine.generate_batch_async(
+                [r["request"] for r in requests]) if requests else None
+
+            # 3. while the device decodes, step the simulators of slots
+            #    that already have queued actions (host/device overlap —
+            #    SURVEY §7 hard part 5)
+            stepped = []
+            for slot in queued_slots:
+                self.agent.step(slot, obs[slot]["rgb"],
+                                current[slot].instruction_text,
+                                run_model=False)
+                action = action_q[slot].pop(0)
+                obs[slot] = self.envs[slot].step(action)
+                steps[slot] += 1
+                stepped.append(slot)
+
+            # 4. collect tokens; step the model slots' envs
+            if handle is not None:
+                outs = self.engine.collect(handle)
                 for r in requests:
                     slot = r["slot"]
-                    toks = outs[slot]
-                    text = self.agent.tok.decode(toks)
+                    text = self.agent.tok.decode(outs[slot])
                     actions = chatml.parse_actions(text) or [0]
                     self.agent.finish_model_step(slot)
                     action_q[slot] = list(actions)
+                    action = action_q[slot].pop(0)
+                    obs[slot] = self.envs[slot].step(action)
+                    steps[slot] += 1
+                    stepped.append(slot)
 
-            # 3. env steps + episode bookkeeping
-            for slot in range(self.n):
+            # 5. episode bookkeeping
+            for slot in stepped:
                 ep = current[slot]
-                if ep is None:
-                    continue
-                action = action_q[slot].pop(0) if action_q[slot] else 0
-                obs[slot] = self.envs[slot].step(action)
-                steps[slot] += 1
                 if steps[slot] % self.agent.cfg.num_frames == 0:
                     self.engine.reset_for_env(slot)
                     self.agent.in_dialogue[slot] = False

@@ -277,6 +277,9 @@ def forward(
     valid: Optional[jax.Array] = None,     # [B, S] bool; False = padding
     attn_impl: str = "auto",
     remat: bool = False,
+    logits_positions: Optional[jax.Array] = None,  # [B] -> logits only
+    # at these in-sequence indices ([B, 1, V]); saves the full-vocab
+    # [B, S, V] projection during prefill (HF num_logits_to_keep parity)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack. Returns (logits [B, S, V], updated cache).
 
@@ -330,6 +333,8 @@ def forward(
         x, _ = jax.lax.scan(step_fn, x, params["layers"])
         new_cache = None
 
+    if logits_positions is not None:
+        x = jax.vmap(lambda row, i: row[i])(x, logits_positions)[:, None]
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")
     if head is None:

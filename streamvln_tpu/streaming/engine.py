@@ -111,8 +111,9 @@ def _prefill_decode(
     positions = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
     logits, cache = qwen2.forward(
         params["llm"], cfg.llm, embeds, positions, cache=cache,
-        new_lengths=lengths, attn_impl=attn_impl)
-    last_logits = jax.vmap(lambda l, n: l[n - 1])(logits, lengths)
+        new_lengths=lengths, attn_impl=attn_impl,
+        logits_positions=lengths - 1)
+    last_logits = logits[:, 0]
 
     # 4. greedy decode with early stop
     first_tok = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
@@ -309,12 +310,20 @@ class StreamingEngine:
             [(env, frame_u8, turn_ids, step_id, history_steps)])[env]
 
     def generate_batch(self, requests) -> dict:
+        """Blocking batched call: dispatch + collect."""
+        return self.collect(self.generate_batch_async(requests))
+
+    def generate_batch_async(self, requests) -> dict:
         """Run model calls for SEVERAL envs in one device dispatch.
 
         requests: iterable of (env, frame_u8, turn_ids, step_id,
         history_steps). All envs decode together (the deployed
         multi-env-per-chip mode; the reference instead runs one env per
-        GPU — SURVEY §2.5.6). Returns {env: token list}.
+        GPU — SURVEY §2.5.6).
+
+        Returns a handle immediately (jax dispatch is async): the host
+        can overlap simulator stepping with device decode and call
+        `collect(handle)` when it needs the tokens.
         """
         requests = list(requests)
         assert requests
@@ -365,16 +374,22 @@ class StreamingEngine:
             self.params, self.cfg, self.cache, self.feat_cache,
             jnp.asarray(frames), jnp.asarray(packed), jnp.asarray(meta),
             self.max_new, self.stop_ids, self.attn_impl)
-        res = np.asarray(result)              # single download
+        return {"result": result, "envs": envs,
+                "prefill_lens": prefill_lens}
+
+    def collect(self, handle) -> dict:
+        """Block on a generate_batch_async handle; returns
+        {env: token list} and settles host-side bookkeeping."""
+        res = np.asarray(handle["result"])    # single download
         out = {}
-        for env in envs:
+        for env in handle["envs"]:
             n_out = int(res[env, 0])
             toks = [int(t) for t in res[env, 1: 1 + n_out]]
             if toks:
                 self.envs[env].pending_token = toks[-1]
             # device KV grew by the prefill plus each decode token fed
             # (the final emitted token is pending, not yet in KV)
-            self.envs[env].kv_length += prefill_lens[env] \
+            self.envs[env].kv_length += handle["prefill_lens"][env] \
                 + max(n_out - 1, 0)
             out[env] = toks
         return out
