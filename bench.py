@@ -73,7 +73,7 @@ def main():
         feat_slots=40,
         max_new_tokens=max_new, stop_ids=(tok.im_end_id,),
         compute_dtype=dtype,
-        buckets=(512, 768, 1024, 2304, 2560, 3072))
+        buckets=(256, 512, 768, 1024, 2304, 2560, 3072))
 
     def turn_ids(first: bool, memory: bool):
         if first or memory:

@@ -47,6 +47,9 @@ class VLNEvaluator:
         self.save_video = save_video
         self.max_steps = max_steps_per_episode
         os.makedirs(output_path, exist_ok=True)
+        # p50 step latency is the north-star metric — track it per phase
+        from streamvln_tpu.utils.observability import LatencyTracker
+        self.latency = LatencyTracker()
 
     # ------------------------------------------------------------------
     def _result_file(self) -> str:
@@ -87,13 +90,17 @@ class VLNEvaluator:
                     observations["rgb"],
                     f"step {step_id}: {episode.instruction_text[:60]}"))
             run_model = len(action_queue) == 0
-            actions, _, _ = agent.step(
-                0, observations["rgb"], episode.instruction_text,
-                run_model=run_model)
+            with self.latency.measure("env_step" if not run_model
+                                      else "model_call"):
+                actions, gen_t, _ = agent.step(
+                    0, observations["rgb"], episode.instruction_text,
+                    run_model=run_model)
             if run_model:
+                self.latency.record("generate", gen_t)
                 action_queue = list(actions)
             action = action_queue.pop(0)
-            observations = env.step(action)
+            with self.latency.measure("sim_step"):
+                observations = env.step(action)
             step_id += 1
             # window reset AFTER env.step (reference:
             # streamvln_eval.py:346-350); the agent's internal non-model
@@ -205,6 +212,10 @@ class VLNEvaluator:
         }
         if ndtws:
             out["ndtw_all"] = float(np.mean(ndtws))
+        lat = self.latency.summary("model_call")
+        if lat:
+            out["model_call_p50_ms"] = lat["p50_ms"]
+            out["model_call_p90_ms"] = lat["p90_ms"]
         if self.rank == 0:
             with open(self._result_file(), "a") as f:
                 f.write(json.dumps(out))

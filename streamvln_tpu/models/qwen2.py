@@ -177,8 +177,12 @@ def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos,
         cfg.head_dim % 128 == 0 and (attn_impl == "flash" or on_tpu)
 
     if kv_major:
-        if kernels_ok and q.shape[1] == 1 \
-                and k.shape[2] % 512 == 0:
+        # the Pallas decode kernel only wins when its per-layer launch
+        # cost is amortized (very long caches / many KV heads); measured
+        # on v5e-1 @ 7B it LOSES ~9 ms/token to XLA's fused dense path,
+        # so it is opt-in (attn_impl="decode_kernel")
+        if attn_impl == "decode_kernel" and q.shape[1] == 1 \
+                and cfg.head_dim % 128 == 0 and k.shape[2] % 512 == 0:
             from streamvln_tpu.ops import decode_attention as da
             # visible keys for a single query at pos p: indices 0..p
             return da.decode_attention(q, k, v, q_pos[:, 0] + 1)
@@ -203,11 +207,20 @@ def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos,
 
 def _proj(x, p, name, lora_scale=None):
     """x @ p[name] (+ bias if present) with optional LoRA delta.
-    int8 weights (models/quant.py) dequantize inside the dot."""
+
+    int8 weights (models/quant.py): per-output-column scales commute
+    with the contraction, so the scale is applied to the OUTPUT —
+    `dot(x, w_i8) * scale` — which lets XLA fuse the int8->bf16 convert
+    into the dot's operand stream instead of materializing a scaled
+    full-precision weight copy (2x decode HBM traffic otherwise)."""
     w = p[name]
+    scale = None
     if w.dtype == jnp.int8:
-        w = w.astype(x.dtype) * p[name + "_scale"].astype(x.dtype)
+        scale = p[name + "_scale"].astype(jnp.float32)  # [.., 1, dout]
+        w = w.astype(x.dtype)
     out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if scale is not None:
+        out = out * scale
     bias = p.get(name[:-2] + "_b") if name.endswith("_w") else None
     if bias is not None:
         out = out + bias.astype(jnp.float32)
@@ -337,12 +350,15 @@ def forward(
         x = jax.vmap(lambda row, i: row[i])(x, logits_positions)[:, None]
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")
+    head_scale = None
     if head is None:
         head = params["embed"].T
     elif head.dtype == jnp.int8:
-        head = head.astype(x.dtype) * params["lm_head_scale"].astype(
-            x.dtype)
+        head_scale = params["lm_head_scale"].astype(jnp.float32)
+        head = head.astype(x.dtype)
     logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    if head_scale is not None:
+        logits = logits * head_scale
     return logits, new_cache
 
 
