@@ -9,9 +9,9 @@ per-env-step latency as a rate in Hz. Target (BASELINE.json north star):
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Hz", "vs_baseline": N}
 
-Model size is chosen to fit the available chip HBM (the full 7B stack in
-bf16 is ~16 GB and does not fit a single v5e-1 chip; the bench then falls
-back to the 1.5B-shape LLM and records which config ran).
+Default model is the flagship 7B with int8 weights (fits a 16 GB chip);
+BENCH_MODEL selects alternatives, BENCH_ENVS batches several envs per
+dispatch, BENCH_MAX_NEW sets the decode budget per call.
 """
 import json
 import os

@@ -20,7 +20,8 @@ import numpy as np
 def build_agent(model_path: Optional[str], model_size: str = "7b",
                 num_frames: int = 32, num_future_steps: int = 4,
                 num_history: int = 8, model_max_length: int = 4096,
-                cache_capacity: int = 4096, max_new_tokens: int = 16):
+                cache_capacity: int = 4096, max_new_tokens: int = 16,
+                n_envs: int = 1):
     import jax
     import jax.numpy as jnp
     from streamvln_tpu import configs
@@ -49,7 +50,7 @@ def build_agent(model_path: Optional[str], model_size: str = "7b",
     if hasattr(tok, "eos_id"):
         stop.add(tok.eos_id)
     engine = StreamingEngine(
-        params, cfg, n_envs=1, cache_capacity=cache_capacity,
+        params, cfg, n_envs=n_envs, cache_capacity=cache_capacity,
         max_new_tokens=max_new_tokens, stop_ids=tuple(stop),
         compute_dtype=dtype)
     return VLNAgent(engine, tok, deterministic_conjunction=False)
@@ -88,6 +89,9 @@ def main(argv=None):
                    help="fake backend episode count")
     p.add_argument("--max_steps_per_episode", type=int, default=None)
     p.add_argument("--save_video", action="store_true", default=False)
+    p.add_argument("--n_envs", type=int, default=1,
+                   help=">1: batched multi-env eval (one model, N "
+                        "parallel simulators per process)")
     p.add_argument("--rank", type=int,
                    default=int(os.environ.get("RANK", 0)))
     p.add_argument("--world_size", type=int,
@@ -99,7 +103,36 @@ def main(argv=None):
 
     agent = build_agent(
         args.model_path, args.model_size, args.num_frames,
-        args.num_future_steps, args.num_history, args.model_max_length)
+        args.num_future_steps, args.num_history, args.model_max_length,
+        n_envs=args.n_envs)
+
+    if args.n_envs > 1:
+        from streamvln_tpu.eval.batched_evaluator import (
+            BatchedVLNEvaluator)
+        env = make_env(args.env_backend, args.eval_split,
+                       args.num_episodes, args.seed,
+                       args.habitat_config_path)
+        episodes = list(env.episodes)[args.rank::args.world_size]
+
+        def factory():
+            return make_env(args.env_backend, args.eval_split,
+                            args.num_episodes, args.seed,
+                            args.habitat_config_path)
+        ev = BatchedVLNEvaluator(
+            factory, agent, args.output_path,
+            max_steps_per_episode=args.max_steps_per_episode)
+        results = ev.run(episodes)
+        n = max(len(results), 1)
+        final = {
+            "sucs_all": sum(r["success"] for r in results) / n,
+            "spls_all": sum(r["spl"] for r in results) / n,
+            "oss_all": sum(r["os"] for r in results) / n,
+            "ones_all": sum(r["ne"] for r in results) / n,
+            "length": len(results),
+        }
+        print(json.dumps(final))
+        return final
+
     env = make_env(args.env_backend, args.eval_split, args.num_episodes,
                    args.seed, args.habitat_config_path)
     ev = VLNEvaluator(env, agent, args.output_path, rank=args.rank,

@@ -293,6 +293,7 @@ def forward(
     logits_positions: Optional[jax.Array] = None,  # [B] -> logits only
     # at these in-sequence indices ([B, 1, V]); saves the full-vocab
     # [B, S, V] projection during prefill (HF num_logits_to_keep parity)
+    return_hidden: bool = False,   # skip lm_head; return normed hiddens
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack. Returns (logits [B, S, V], updated cache).
 
@@ -349,6 +350,13 @@ def forward(
     if logits_positions is not None:
         x = jax.vmap(lambda row, i: row[i])(x, logits_positions)[:, None]
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if return_hidden:
+        return x, new_cache
+    return lm_head_logits(params, x), new_cache
+
+
+def lm_head_logits(params: Params, x: jax.Array) -> jax.Array:
+    """Final-normed hidden states -> vocabulary logits (f32)."""
     head = params.get("lm_head")
     head_scale = None
     if head is None:
@@ -359,7 +367,7 @@ def forward(
     logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
     if head_scale is not None:
         logits = logits * head_scale
-    return logits, new_cache
+    return logits
 
 
 def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:

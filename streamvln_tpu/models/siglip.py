@@ -90,7 +90,7 @@ def patchify(images: jax.Array, patch: int) -> jax.Array:
 
 
 def forward(params: Params, cfg: SigLIPConfig, images: jax.Array,
-            attn_impl: str = "auto") -> jax.Array:
+            attn_impl: str = "auto", remat: bool = False) -> jax.Array:
     """images: [B, H, W, 3] preprocessed pixels -> [B, 729, hidden]."""
     B = images.shape[0]
     x = patchify(images, cfg.patch_size)
@@ -115,5 +115,6 @@ def forward(params: Params, cfg: SigLIPConfig, images: jax.Array,
         x = x + jnp.dot(h, p["fc2_w"]) + p["fc2_b"]
         return x, None
 
-    x, _ = jax.lax.scan(block, x, params["layers"])
+    block_fn = jax.checkpoint(block) if remat else block
+    x, _ = jax.lax.scan(block_fn, x, params["layers"])
     return x

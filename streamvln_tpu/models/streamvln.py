@@ -82,7 +82,8 @@ def pool_2d(feats: jax.Array, side: int, stride: int,
 
 
 def encode_frames(params: Params, cfg: StreamVLNConfig,
-                  images: jax.Array, attn_impl: str = "auto") -> jax.Array:
+                  images: jax.Array, attn_impl: str = "auto",
+                  remat: bool = False) -> jax.Array:
     """[B, V, H, W, 3] -> [B, V * tokens_per_frame, llm_hidden].
 
     tower -> projector -> 2x2 pool, identical for memory and current frames
@@ -90,7 +91,8 @@ def encode_frames(params: Params, cfg: StreamVLNConfig,
     """
     B, V = images.shape[:2]
     flat = images.reshape((B * V,) + images.shape[2:])
-    feats = siglip.forward(params["vision"], cfg.vision, flat, attn_impl)
+    feats = siglip.forward(params["vision"], cfg.vision, flat, attn_impl,
+                           remat=remat)
     feats = projector_lib.forward(params["projector"], feats)
     feats = pool_2d(feats, cfg.vision.patches_per_side,
                     cfg.spatial_pool_stride, cfg.spatial_pool_mode)
@@ -218,27 +220,66 @@ def forward_train(
     layout: dict,               # from stack_layouts
     attn_impl: str = "auto",
     remat: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Training forward. Returns (loss, logits)."""
-    vision_flat = encode_frames(params, cfg, images, attn_impl)
+    loss_chunk_size: Optional[int] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Training forward. Returns (loss, logits).
+
+    loss_chunk_size: compute the cross-entropy in sequence chunks so the
+    [B, T, vocab] logits tensor is never materialized — required for
+    long contexts (the reference trains at ctx 32768, where full-seq
+    150k-vocab logits would be ~19 GB/f32 per sample). Returns
+    logits=None in chunked mode.
+    """
+    vision_flat = encode_frames(params, cfg, images, attn_impl,
+                                remat=remat)
     embeds = splice_embeds(
         params, vision_flat, layout["token_ids"], layout["is_vision"],
         layout["vision_index"])
     valid = layout["valid"]
     B, T = valid.shape
     positions = jnp.where(valid, jnp.cumsum(valid, axis=1) - 1, 0)
-    logits, _ = qwen2.forward(
-        params["llm"], cfg.llm, embeds, positions, valid=valid,
-        attn_impl=attn_impl, remat=remat)
-
     labels = layout["labels"]
-    # next-token prediction: logits[t] predicts labels[t + 1]
-    shift_logits = logits[:, :-1]
-    shift_labels = labels[:, 1:]
+
+    if loss_chunk_size is None:
+        logits, _ = qwen2.forward(
+            params["llm"], cfg.llm, embeds, positions, valid=valid,
+            attn_impl=attn_impl, remat=remat)
+        loss = _ce_loss(logits[:, :-1], labels[:, 1:])
+        return loss, logits
+
+    hidden, _ = qwen2.forward(
+        params["llm"], cfg.llm, embeds, positions, valid=valid,
+        attn_impl=attn_impl, remat=remat, return_hidden=True)
+    C = loss_chunk_size
+    assert T % C == 0, (T, C)
+    # shift: hidden[t] predicts labels[t+1]; pad labels so chunks align
+    shifted_labels = jnp.concatenate(
+        [labels[:, 1:],
+         jnp.full((B, 1), IGNORE_INDEX, labels.dtype)], axis=1)
+    hid_chunks = hidden.reshape(B, T // C, C, -1).transpose(1, 0, 2, 3)
+    lab_chunks = shifted_labels.reshape(B, T // C, C).transpose(1, 0, 2)
+
+    def chunk_loss(carry, xs):
+        h, lab = xs
+        logits = qwen2.lm_head_logits(params["llm"], h)
+        mask = lab != IGNORE_INDEX
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tok = jnp.take_along_axis(
+            logp, jnp.maximum(lab, 0)[..., None], axis=-1)[..., 0]
+        s, n = carry
+        return (s - jnp.sum(tok * mask), n + jnp.sum(mask)), None
+
+    (loss_sum, count), _ = jax.lax.scan(
+        jax.checkpoint(chunk_loss) if remat else chunk_loss,
+        (jnp.float32(0), jnp.float32(0)), (hid_chunks, lab_chunks))
+    loss = loss_sum / jnp.maximum(count, 1)
+    return loss, None
+
+
+def _ce_loss(shift_logits, shift_labels):
     mask = (shift_labels != IGNORE_INDEX)
     safe_labels = jnp.maximum(shift_labels, 0)
     logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
     token_logp = jnp.take_along_axis(
         logp, safe_labels[..., None], axis=-1)[..., 0]
-    loss = -jnp.sum(token_logp * mask) / jnp.maximum(jnp.sum(mask), 1)
-    return loss, logits
+    return -jnp.sum(token_logp * mask) / jnp.maximum(jnp.sum(mask), 1)

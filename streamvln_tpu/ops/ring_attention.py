@@ -13,9 +13,9 @@ overlaps the ppermute with the block compute over ICI.
 
 Causality/padding ride on the same position rule as the rest of the
 framework: key j visible to query i iff k_pos[j] <= q_pos[i]; invalid
-keys carry a huge sentinel. No zigzag scheduling yet — plain ring; the
-causal skip means late chunks do less work, which zigzag would balance
-(future optimization).
+keys carry a huge sentinel. `make_ring_attention(..., zigzag=True)`
+applies the zigzag chunk schedule (a pure position permutation here) so
+causal work balances across the ring.
 """
 from __future__ import annotations
 
@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 NEG_INF = -1e30
@@ -93,12 +94,34 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.astype(q.dtype)
 
 
-def make_ring_attention(mesh: Mesh, axis_name: str = "fsdp"):
+def zigzag_permutation(S: int, n: int):
+    """Zigzag sequence order: device i holds chunks i and 2n-1-i, so
+    causal-skip work balances across the ring (the reference's zigzag
+    ring flash attention schedule; modeling_llama.py:385-563). Returns
+    (perm, inv_perm) index arrays of length S."""
+    assert S % (2 * n) == 0, (S, n)
+    c = S // (2 * n)
+    order = []
+    for i in range(n):
+        order.append(np.arange(i * c, (i + 1) * c))
+        j = 2 * n - 1 - i
+        order.append(np.arange(j * c, (j + 1) * c))
+    perm = np.concatenate(order)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(S)
+    return perm, inv
+
+
+def make_ring_attention(mesh: Mesh, axis_name: str = "fsdp",
+                        zigzag: bool = False):
     """shard_map wrapper: full arrays in, sequence sharded internally.
 
     q/k/v: [B, S, H, D] with S divisible by the axis size;
     positions: [B, S]. Use for long-context training where one device
-    cannot hold the full S x S attention."""
+    cannot hold the full S x S attention. zigzag=True re-orders the
+    sequence so every device holds one early and one late chunk —
+    since masking is position-based, this is a pure permutation with
+    identical results and balanced causal work."""
     from jax.experimental.shard_map import shard_map
 
     spec_qkv = P(None, axis_name, None, None)
@@ -111,4 +134,16 @@ def make_ring_attention(mesh: Mesh, axis_name: str = "fsdp"):
     def fn(q, k, v, q_pos, k_pos):
         return ring_attention(q, k, v, q_pos, k_pos, axis_name)
 
-    return fn
+    if not zigzag:
+        return fn
+
+    n = mesh.shape[axis_name]
+
+    def zz(q, k, v, q_pos, k_pos):
+        S = q.shape[1]
+        perm, inv = zigzag_permutation(S, n)
+        out = fn(q[:, perm], k[:, perm], v[:, perm],
+                 q_pos[:, perm], k_pos[:, perm])
+        return out[:, inv]
+
+    return zz

@@ -27,7 +27,8 @@ from streamvln_tpu.configs import StreamVLNConfig
 from streamvln_tpu.models import streamvln, qwen2
 from streamvln_tpu.parallel import mesh as mesh_lib
 from streamvln_tpu.parallel.train import (
-    TrainConfig, TrainState, make_optimizer, state_shardings)
+    TrainConfig, TrainState, _normalize_state, make_optimizer,
+    state_shardings)
 from streamvln_tpu.utils.constants import IGNORE_INDEX
 
 
@@ -82,12 +83,14 @@ def make_dpo_step(cfg: StreamVLNConfig, tcfg: TrainConfig, mesh,
             return dpo_loss(params, ref_params, cfg, batch, beta,
                             tcfg.attn_impl, tcfg.remat)
         (loss, aux), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            loss_fn, has_aux=True, allow_int=True)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state,
                                         state.params)
-        params = optax.apply_updates(state.params, updates)
+        from streamvln_tpu.parallel.train import apply_updates
+        params = apply_updates(state.params, updates)
+        from streamvln_tpu.parallel.train import _finite_grads
         metrics = {"loss": loss, **aux,
-                   "grad_norm": optax.global_norm(grads)}
+                   "grad_norm": optax.global_norm(_finite_grads(grads))}
         return TrainState(state.step + 1, params, opt_state), metrics
 
     compiled = {}
@@ -95,15 +98,10 @@ def make_dpo_step(cfg: StreamVLNConfig, tcfg: TrainConfig, mesh,
     def jit_step(state, ref_params, batch):
         key = tuple(sorted(batch.keys()))
         if key not in compiled:
-            st_sh = state_shardings(state, mesh)
-            bspec = mesh_lib.batch_spec()
-            compiled[key] = jax.jit(
-                step_fn,
-                in_shardings=(
-                    st_sh, st_sh.params,
-                    {k: NamedSharding(mesh, bspec) for k in batch}),
-                out_shardings=(st_sh, NamedSharding(mesh, P())),
-                donate_argnums=(0,))
+            compiled[key] = jax.jit(step_fn, donate_argnums=(0,))
+        bspec = NamedSharding(mesh, mesh_lib.batch_spec())
+        batch = jax.tree.map(lambda x: jax.device_put(x, bspec), batch)
+        state = _normalize_state(state, mesh)
         return compiled[key](state, ref_params, batch)
 
     return jit_step

@@ -27,6 +27,23 @@ from streamvln_tpu.models import streamvln
 from streamvln_tpu.parallel import mesh as mesh_lib
 
 
+def _finite_grads(grads):
+    """Replace float0 grads (from int-typed leaves under allow_int)
+    with scalar zeros so norm reductions work."""
+    return jax.tree.map(
+        lambda g: jnp.zeros((), jnp.float32)
+        if g.dtype == jax.dtypes.float0 else g, grads)
+
+
+def apply_updates(params, updates):
+    """optax.apply_updates that passes int-typed (float0-update) leaves
+    through untouched — quantized base weights stay frozen bit-exact."""
+    return jax.tree.map(
+        lambda p, u: p if u.dtype == jax.dtypes.float0
+        else jnp.asarray(p + u).astype(jnp.asarray(p).dtype),
+        params, updates)
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Defaults mirror the reference run (scripts/streamvln_train_slurm.sh:
@@ -48,6 +65,9 @@ class TrainConfig:
     # micro-batch accumulation (reference: bs 2 x grad-accum 2 per GPU,
     # scripts/streamvln_train_slurm.sh:55-60)
     grad_accum_steps: int = 1
+    # sequence-chunked cross-entropy (None = full-seq logits); chunking
+    # is what makes 32k-context training fit in HBM
+    loss_chunk_size: Optional[int] = 512
     remat: bool = True
     attn_impl: str = "auto"
 
@@ -112,6 +132,24 @@ def create_train_state(params, tcfg: TrainConfig) -> TrainState:
                       opt_state=opt.init(params))
 
 
+def _normalize_state(state, mesh):
+    """Move leaves committed outside the mesh (e.g. a checkpoint-restored
+    scalar on one device) to replicated mesh placement so jit sees one
+    consistent device set; meshed leaves pass through untouched."""
+    if len(mesh.devices.flat) == 1:
+        return state
+
+    def one(x):
+        sh = getattr(x, "sharding", None)
+        if sh is None:
+            return x
+        if isinstance(sh, NamedSharding) and sh.mesh.devices.shape == \
+                mesh.devices.shape:
+            return x
+        return jax.device_put(x, NamedSharding(mesh, P()))
+    return jax.tree.map(one, state)
+
+
 def state_shardings(state: TrainState, mesh):
     """NamedShardings read from the live state. Params are placed by
     shard_params; optax.init builds moment buffers with zeros_like, which
@@ -132,20 +170,45 @@ def make_train_step(cfg: StreamVLNConfig, tcfg: TrainConfig, mesh):
     labels/valid [B,T], lengths [B]."""
     opt = make_optimizer(tcfg)
 
+    def _freeze(params):
+        """stop_gradient on frozen groups: avoids COMPUTING their
+        (potentially multi-GB) cotangents only to zero them — the
+        backward pass then only differentiates trainable leaves."""
+        labels = _label_params(params, lora_only=tcfg.lora_only)
+        frozen = {"frozen"}
+        if tcfg.freeze_vision:
+            frozen.add("vision")
+        if tcfg.freeze_projector:
+            frozen.add("projector")
+        if tcfg.freeze_llm:
+            frozen.add("llm")
+        return jax.tree.map(
+            lambda p, lab: jax.lax.stop_gradient(p) if lab in frozen
+            else p, params, labels)
+
     def loss_fn(params, batch):
+        params = _freeze(params)
+        T = batch["token_ids"].shape[1]
+        chunk = tcfg.loss_chunk_size
+        if chunk is not None and T % chunk != 0:
+            chunk = None   # odd bucket: fall back to full-seq loss
         loss, _ = streamvln.forward_train(
             params, cfg, batch["images"],
             {k: batch[k] for k in ("token_ids", "is_vision",
                                    "vision_index", "labels", "valid")},
-            attn_impl=tcfg.attn_impl, remat=tcfg.remat)
+            attn_impl=tcfg.attn_impl, remat=tcfg.remat,
+            loss_chunk_size=chunk)
         return loss
 
     def step_fn(state: TrainState, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        # allow_int: int8-quantized base weights get float0 grads, which
+        # optax.set_to_zero / apply_updates pass through untouched
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
+            state.params, batch)
         updates, opt_state = opt.update(grads, state.opt_state,
                                         state.params)
-        params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
+        params = apply_updates(state.params, updates)
+        gnorm = optax.global_norm(_finite_grads(grads))
         new_state = TrainState(state.step + 1, params, opt_state)
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
@@ -160,16 +223,15 @@ def make_train_step(cfg: StreamVLNConfig, tcfg: TrainConfig, mesh):
                 f"dp*fsdp = {n_data}")
         key = tuple(sorted(batch.keys()))
         if key not in compiled:
-            st_sh = state_shardings(state, mesh)
-            bspec = mesh_lib.batch_spec()
-            batch_shardings = {k: NamedSharding(mesh, bspec)
-                               for k in batch}
-            compiled[key] = jax.jit(
-                step_fn,
-                in_shardings=(st_sh, batch_shardings),
-                out_shardings=(st_sh, NamedSharding(mesh, P())),
-                donate_argnums=(0,),
-            )
+            # shardings ride on the (committed) input arrays rather than
+            # explicit in_/out_shardings: state placed by shard_params
+            # keeps its layout, batches are placed here once. (Explicit
+            # jit shardings force a reshard pass per call on some
+            # backends — measured 20x step overhead on tunneled chips.)
+            compiled[key] = jax.jit(step_fn, donate_argnums=(0,))
+        bspec = NamedSharding(mesh, mesh_lib.batch_spec())
+        batch = jax.tree.map(lambda x: jax.device_put(x, bspec), batch)
+        state = _normalize_state(state, mesh)
         return compiled[key](state, batch)
 
     return jit_step

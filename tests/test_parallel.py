@@ -117,3 +117,28 @@ def test_frozen_vision_params_unchanged():
     for a, b in zip(jax.tree_util.tree_leaves(before),
                     jax.tree_util.tree_leaves(after)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_chunked_loss_matches_full():
+    """Sequence-chunked CE == full-logits CE (value and gradients)."""
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    batch = _make_batch(cfg, B=2, T=32)
+    layout = {k: batch[k] for k in ("token_ids", "is_vision",
+                                    "vision_index", "labels", "valid")}
+
+    def loss_full(p):
+        return streamvln.forward_train(p, cfg, batch["images"],
+                                       layout)[0]
+
+    def loss_chunked(p):
+        return streamvln.forward_train(p, cfg, batch["images"], layout,
+                                       loss_chunk_size=8)[0]
+
+    lf, gf = jax.value_and_grad(loss_full)(params)
+    lc, gc = jax.value_and_grad(loss_chunked)(params)
+    np.testing.assert_allclose(float(lf), float(lc), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)

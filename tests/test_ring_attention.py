@@ -53,3 +53,22 @@ def test_ring_with_padding_sentinels():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_zigzag_matches_plain():
+    mesh = mesh_lib.make_mesh(dp=1, fsdp=4, tp=1,
+                              devices=jax.devices()[:4])
+    rng = np.random.RandomState(2)
+    B, S, H, D = 1, 64, 2, 16
+    q = rng.randn(B, S, H, D).astype(np.float32)
+    k = rng.randn(B, S, H, D).astype(np.float32)
+    v = rng.randn(B, S, H, D).astype(np.float32)
+    pos = np.arange(S)[None].astype(np.int32)
+    plain = make_ring_attention(mesh, "fsdp")(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(pos), jnp.asarray(pos))
+    zz = make_ring_attention(mesh, "fsdp", zigzag=True)(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(pos), jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(zz), np.asarray(plain),
+                               rtol=2e-5, atol=2e-5)
