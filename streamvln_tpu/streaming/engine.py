@@ -281,6 +281,11 @@ class StreamingEngine:
 
         # current frame gets the next free slot
         write_slot = st.next_slot
+        if write_slot >= self.feat_cache.shape[1]:
+            raise RuntimeError(
+                f"env {env}: frame-feature cache full "
+                f"({self.feat_cache.shape[1]} slots); raise feat_slots "
+                f"or call reset_episode between episodes")
         st.frame_slots[step_id] = write_slot
         st.next_slot += 1
 
@@ -401,6 +406,10 @@ class StreamingEngine:
         if step_id in st.frame_slots:
             return
         slot = st.next_slot
+        if slot >= self.feat_cache.shape[1]:
+            raise RuntimeError(
+                f"env {env}: frame-feature cache full "
+                f"({self.feat_cache.shape[1]} slots); raise feat_slots")
         st.frame_slots[step_id] = slot
         st.next_slot += 1
         self.feat_cache = _encode_store(
