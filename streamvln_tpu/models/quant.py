@@ -129,6 +129,29 @@ def init_quantized_llm(rng: jax.Array, cfg, compute_dtype=jnp.bfloat16,
     return params
 
 
+def dequantize_llm(params: dict, dtype=jnp.float32) -> dict:
+    """Inverse of quantize_llm: materialize every int8 leaf as
+    `value * scale` in `dtype` and drop the `*_scale` companions. Used
+    before HF export so checkpoints never contain raw int8 integers."""
+    def dequant_group(group: dict) -> dict:
+        out = {}
+        for name, w in group.items():
+            if name.endswith("_scale"):
+                continue
+            if getattr(w, "dtype", None) == jnp.int8:
+                scale = group[name + "_scale"].astype(dtype)
+                out[name] = w.astype(dtype) * scale
+            else:
+                out[name] = w
+        return out
+
+    llm = dequant_group(params["llm"])
+    llm["layers"] = dequant_group(params["llm"]["layers"])
+    out = dict(params)
+    out["llm"] = llm
+    return out
+
+
 def maybe_dequant(p: dict, name: str, compute_dtype=jnp.bfloat16):
     """Weight leaf for matmul: int8 -> scaled compute dtype (fused by
     XLA into the consuming dot), other dtypes pass through."""

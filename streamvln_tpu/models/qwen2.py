@@ -361,6 +361,11 @@ def lm_head_logits(params: Params, x: jax.Array) -> jax.Array:
     head_scale = None
     if head is None:
         head = params["embed"].T
+        if head.dtype == jnp.int8:
+            # tied int8 embedding: per-row scales [V, 1] apply along the
+            # vocab (output) axis of the logits
+            head_scale = params["embed_scale"].astype(jnp.float32)[:, 0]
+            head = head.astype(x.dtype)
     elif head.dtype == jnp.int8:
         head_scale = params["lm_head_scale"].astype(jnp.float32)
         head = head.astype(x.dtype)

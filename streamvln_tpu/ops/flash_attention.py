@@ -92,8 +92,14 @@ def _flash_kernel(q_pos_ref, k_pos_ref,       # scalar-prefetch-like inputs
     @pl.when(ik == n_k - 1)
     def _finalize():
         l = l_scratch[:]
-        safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+        # A row with no visible key anywhere keeps m == NEG_INF yet can
+        # accumulate p == exp(NEG_INF - NEG_INF) == 1 mass from blocks
+        # that passed the block-level visibility check; its l is then
+        # > 0 and the row would emit mean(V). Force such rows to zero.
+        valid = m_scratch[:] > NEG_INF / 2
+        safe_l = jnp.where((l == 0.0) | ~valid, 1.0, l)
+        o_ref[0, 0] = jnp.where(valid, acc_scratch[:] / safe_l,
+                                0.0).astype(o_ref.dtype)
 
 
 def _flash_kernel_lse(q_pos_ref, k_pos_ref, q_ref, k_ref, v_ref,
@@ -109,8 +115,11 @@ def _flash_kernel_lse(q_pos_ref, k_pos_ref, q_ref, k_ref, v_ref,
     @pl.when(ik == n_k - 1)
     def _emit_lse():
         l = l_scratch[:]
-        lse = jnp.where(l > 0.0, m_scratch[:] + jnp.log(
-            jnp.where(l > 0.0, l, 1.0)), NEG_INF)
+        # same no-visible-key guard as _finalize: l > 0 alone is not
+        # proof the row saw a real key (see comment there)
+        valid = (l > 0.0) & (m_scratch[:] > NEG_INF / 2)
+        lse = jnp.where(valid, m_scratch[:] + jnp.log(
+            jnp.where(valid, l, 1.0)), NEG_INF)
         lse_ref[0, 0] = jnp.broadcast_to(lse[:, 0][None, :],
                                          lse_ref.shape[2:])
 

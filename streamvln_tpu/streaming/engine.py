@@ -87,7 +87,12 @@ def _prefill_decode(
     tpf = cfg.tokens_per_frame
     compute_dtype = feat_cache.dtype
 
-    # 1. encode current frame -> pooled tokens; store in feature cache
+    # 1. encode current frame -> pooled tokens; store in feature cache.
+    # Inactive rows carry meta zeros (write_slot 0); routing their write
+    # to the reserved scratch slot (last index, never host-assigned)
+    # keeps slot 0's real step-0 features intact.
+    write_slot = jnp.where(active, write_slot,
+                           jnp.int32(feat_cache.shape[1] - 1))
     pixels = preprocess_frames(
         frame.reshape((-1,) + frame.shape[2:]) if frame.ndim == 5
         else frame, cfg.vision.image_size, dtype=compute_dtype)
@@ -225,17 +230,30 @@ class StreamingEngine:
         self.cache = KVCache.create(cfg.llm, n_envs, cache_capacity,
                                     compute_dtype)
         D = cfg.llm.hidden_size
+        # +1 scratch slot: inactive batch rows write their dummy-frame
+        # encoding there (see _prefill_decode); hosts never assign it.
+        self.feat_slots = feat_slots
         self.feat_cache = jnp.zeros(
-            (n_envs, feat_slots, cfg.tokens_per_frame, D), compute_dtype)
+            (n_envs, feat_slots + 1, cfg.tokens_per_frame, D),
+            compute_dtype)
         self.envs = [EnvState() for _ in range(n_envs)]
+        self._inflight: set = set()
 
     # -- reset ----------------------------------------------------------
     def reset(self):
+        """Full reset of every env, matching the reference's
+        `reset(env_num)` which rebuilds all per-env state
+        (stream_video_vln.py:473-479) — including the episode-scoped
+        frame-feature slots, so engines reused across episodes do not
+        exhaust the slot pool."""
         self.cache = KVCache(self.cache.k, self.cache.v,
                              jnp.zeros_like(self.cache.length))
         for e in self.envs:
             e.pending_token = None
             e.kv_length = 0
+            e.frame_slots.clear()
+            e.next_slot = 0
+        self._inflight.clear()
 
     def reset_for_env(self, env: int):
         """Window reset: drop dialogue KV; the frame-feature cache is
@@ -279,12 +297,13 @@ class StreamingEngine:
         else:
             hist_slots = [0] * self.cfg.num_history  # never referenced
 
-        # current frame gets the next free slot
+        # current frame gets the next free slot (the last physical slot
+        # is reserved scratch for inactive rows — never assigned here)
         write_slot = st.next_slot
-        if write_slot >= self.feat_cache.shape[1]:
+        if write_slot >= self.feat_slots:
             raise RuntimeError(
                 f"env {env}: frame-feature cache full "
-                f"({self.feat_cache.shape[1]} slots); raise feat_slots "
+                f"({self.feat_slots} slots); raise feat_slots "
                 f"or call reset_episode between episodes")
         st.frame_slots[step_id] = write_slot
         st.next_slot += 1
@@ -334,6 +353,13 @@ class StreamingEngine:
         assert requests
         envs = [r[0] for r in requests]
         assert len(set(envs)) == len(envs), "duplicate env in batch"
+        stale = self._inflight.intersection(envs)
+        if stale:
+            raise RuntimeError(
+                f"envs {sorted(stale)} have an uncollected async handle; "
+                f"collect() it before dispatching them again (pending "
+                f"token / kv_length bookkeeping settles at collect)")
+        self._inflight.update(envs)
 
         # shared bucket: max expanded length over the batch
         def ids_with_pending(env, turn_ids):
@@ -387,6 +413,7 @@ class StreamingEngine:
         {env: token list} and settles host-side bookkeeping."""
         res = np.asarray(handle["result"])    # single download
         out = {}
+        self._inflight.difference_update(handle["envs"])
         for env in handle["envs"]:
             n_out = int(res[env, 0])
             toks = [int(t) for t in res[env, 1: 1 + n_out]]
@@ -406,10 +433,10 @@ class StreamingEngine:
         if step_id in st.frame_slots:
             return
         slot = st.next_slot
-        if slot >= self.feat_cache.shape[1]:
+        if slot >= self.feat_slots:
             raise RuntimeError(
                 f"env {env}: frame-feature cache full "
-                f"({self.feat_cache.shape[1]} slots); raise feat_slots")
+                f"({self.feat_slots} slots); raise feat_slots")
         st.frame_slots[step_id] = slot
         st.next_slot += 1
         self.feat_cache = _encode_store(
@@ -428,31 +455,3 @@ class StreamingEngine:
             else:
                 n += 1
         return n
-
-    def _call_jit(self, layout, frame_u8, hist_slots, write_slot, env):
-        B = self.n_envs
-        T = len(layout.token_ids)
-        nh = self.cfg.num_history
-
-        packed = np.zeros((B, 3, T), np.int32)
-        packed[env, 0] = layout.token_ids
-        packed[env, 1] = layout.is_vision
-        packed[env, 2] = layout.vision_index
-
-        meta = np.zeros((B, nh + 3), np.int32)
-        meta[:, nh + 1] = 1                   # inactive rows: 1 dummy tok
-        meta[env, :nh] = hist_slots
-        meta[env, nh] = write_slot
-        meta[env, nh + 1] = layout.length
-        meta[env, nh + 2] = 1                 # active
-
-        frames = np.zeros((B,) + frame_u8.shape, frame_u8.dtype)
-        frames[env] = frame_u8
-
-        result, self.cache, self.feat_cache = _prefill_decode(
-            self.params, self.cfg, self.cache, self.feat_cache,
-            jnp.asarray(frames), jnp.asarray(packed), jnp.asarray(meta),
-            self.max_new, self.stop_ids, self.attn_impl)
-        res = np.asarray(result[env])         # single download
-        n_out = int(res[0])
-        return res[1: 1 + n_out]

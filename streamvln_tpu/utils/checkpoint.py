@@ -79,7 +79,16 @@ def resume_latest(directory: str, state):
 def export_hf(params: dict, cfg) -> dict:
     """streamvln_tpu params -> HF StreamVLNForCausalLM state dict
     ({name: np.ndarray}); consumable by the PyTorch reference after
-    torch.tensor conversion."""
+    torch.tensor conversion. Int8-quantized leaves are dequantized
+    (value * scale) first — HF checkpoints must never carry raw int8
+    integers without their scales."""
+    import jax.numpy as jnp
+
+    from streamvln_tpu.models.quant import dequantize_llm
+
+    if any(getattr(leaf, "dtype", None) == jnp.int8
+           for leaf in jax.tree_util.tree_leaves(params["llm"])):
+        params = dequantize_llm(params)
     out = {}
 
     def put(name, arr):

@@ -70,3 +70,81 @@ def test_batched_subset_of_envs():
     engine.generate_batch([(0, frame, t, 0, ()), (2, frame, t, 0, ())])
     lengths = np.asarray(engine.cache.length)
     assert lengths[0] > 0 and lengths[2] > 0 and lengths[1] == 0
+
+
+def test_partial_batch_preserves_inactive_feat_cache():
+    """Inactive rows must not clobber their step-0 feature-cache slot
+    (their meta zeros used to route the dummy-frame encoding to slot 0;
+    it now lands in the reserved scratch slot)."""
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    engine = StreamingEngine(
+        params, cfg, n_envs=3, stop_ids=(tok.im_end_id,),
+        compute_dtype=jnp.float32, max_new_tokens=4,
+        cache_capacity=2048, buckets=(512, 768))
+    rng = np.random.RandomState(2)
+    t0 = _turn(tok, chatml.observation_prompt(None, "hello"), True)
+    frames = [rng.randint(0, 255, (48, 64, 3), np.uint8)
+              for _ in range(3)]
+    engine.generate_batch([(e, frames[e], t0, 0, ()) for e in range(3)])
+    before = np.asarray(engine.feat_cache[1, 0])
+    assert np.abs(before).max() > 0
+
+    # partial batch: env 1 inactive
+    t1 = _turn(tok, chatml.observation_prompt(None, ""), False)
+    engine.generate_batch([(0, frames[0], t1, 1, ()),
+                           (2, frames[2], t1, 1, ())])
+    after = np.asarray(engine.feat_cache[1, 0])
+    np.testing.assert_array_equal(before, after)
+    # scratch slot (last) is never handed out to active envs
+    assert all(s < engine.feat_slots
+               for st in engine.envs for s in st.frame_slots.values())
+
+
+def test_async_double_dispatch_raises():
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    engine = StreamingEngine(
+        params, cfg, n_envs=2, stop_ids=(tok.im_end_id,),
+        compute_dtype=jnp.float32, max_new_tokens=4,
+        cache_capacity=2048, buckets=(512, 768))
+    rng = np.random.RandomState(3)
+    frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    t = _turn(tok, chatml.observation_prompt(None, "hi"), True)
+    h = engine.generate_batch_async([(0, frame, t, 0, ())])
+    import pytest
+    with pytest.raises(RuntimeError, match="uncollected"):
+        engine.generate_batch_async([(0, frame, t, 1, ())])
+    # a different env is fine while env 0 is in flight
+    h2 = engine.generate_batch_async([(1, frame, t, 0, ())])
+    engine.collect(h)
+    engine.collect(h2)
+    # after collect, env 0 can dispatch again
+    t1 = _turn(tok, chatml.observation_prompt(None, ""), False)
+    engine.generate_batch([(0, frame, t1, 1, ())])
+
+
+def test_reset_reclaims_feature_slots():
+    """Engine reuse across episodes via reset(): frame slots must be
+    reclaimed (reference reset(env_num) is a full per-env reset,
+    stream_video_vln.py:473-479)."""
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    engine = StreamingEngine(
+        params, cfg, n_envs=1, stop_ids=(tok.im_end_id,),
+        compute_dtype=jnp.float32, max_new_tokens=4,
+        cache_capacity=2048, buckets=(512, 768), feat_slots=2)
+    rng = np.random.RandomState(4)
+    frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    for episode in range(3):   # 3 episodes x 2 frames > 2 slots
+        t0 = _turn(tok, chatml.observation_prompt(None, "go"), True)
+        engine.generate(0, frame, t0, step_id=0)
+        t1 = _turn(tok, chatml.observation_prompt(None, ""), False)
+        engine.generate(0, frame, t1, step_id=1)
+        engine.reset()
+        assert engine.envs[0].next_slot == 0
+        assert not engine.envs[0].frame_slots
+        assert engine.envs[0].pending_token is None

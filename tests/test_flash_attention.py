@@ -55,3 +55,27 @@ def test_flash_row_with_no_visible_keys_is_finite():
                           jnp.asarray(q_pos), jnp.asarray(k_pos),
                           block_q=64, block_k=64, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_masked_row_inside_visible_block_is_zero():
+    """A row with no visible key in a block OTHER rows see: its p mass
+    used to be exp(NEG_INF - NEG_INF) == 1 per key -> mean(V) output.
+    Must be exactly zero (matching the l == 0 safe path)."""
+    rng = np.random.RandomState(2)
+    B, S, H, D = 1, 64, 2, 128
+    q = rng.randn(B, S, H, D).astype(np.float32)
+    k = rng.randn(B, S, H, D).astype(np.float32)
+    v = rng.randn(B, S, H, D).astype(np.float32)
+    q_pos = np.arange(S)[None].astype(np.int32)
+    q_pos[:, 5] = -1                    # sees nothing (k_pos >= 0)
+    k_pos = np.arange(S)[None].astype(np.int32)
+    out = np.asarray(flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(q_pos), jnp.asarray(k_pos),
+        block_q=64, block_k=64, interpret=True))
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out[:, 5], 0.0)
+    # other rows unaffected
+    ref = np.asarray(_ref(q, k, v, q_pos, k_pos))
+    np.testing.assert_allclose(out[:, 6:], ref[:, 6:], rtol=2e-5,
+                               atol=2e-5)

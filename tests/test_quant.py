@@ -56,3 +56,70 @@ def test_quantized_cache_decode_runs():
                                   jnp.arange(6)[None], cache=cache)
     assert np.isfinite(np.asarray(logits)).all()
     assert int(cache.length[0]) == 6
+
+
+def test_tied_int8_embed_logits_scaled():
+    """quantize_embed on a tied-embedding config must apply embed_scale
+    in lm_head_logits; raw-int8 logits silently change the argmax."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_llm(), tie_word_embeddings=True)
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    assert "lm_head" not in params
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                             cfg.vocab_size)
+    x = qwen2.embed_tokens(params, ids)
+    pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
+    ref, _ = qwen2.forward(params, cfg, x, pos, attn_impl="dense")
+
+    qparams = quant.quantize_llm({"llm": params},
+                                 quantize_embed=True)["llm"]
+    assert qparams["embed"].dtype == jnp.int8
+    xq = qwen2.embed_tokens(qparams, ids)
+    out, _ = qwen2.forward(qparams, cfg, xq, pos, attn_impl="dense")
+
+    ref_n = np.asarray(jax.nn.softmax(ref, -1))
+    out_n = np.asarray(jax.nn.softmax(out, -1))
+    assert np.abs(ref_n - out_n).max() < 0.05
+    agree = (np.argmax(np.asarray(ref), -1)
+             == np.argmax(np.asarray(out), -1)).mean()
+    assert agree >= 0.9
+
+
+def test_dequantize_llm_roundtrip():
+    cfg = tiny_llm()
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_llm({"llm": params}, quantize_embed=True)
+    deq = quant.dequantize_llm(qparams)["llm"]
+    assert deq["embed"].dtype == jnp.float32
+    assert "embed_scale" not in deq
+    assert "q_w_scale" not in deq["layers"]
+    for name in ("embed",):
+        a = np.asarray(params[name], np.float32)
+        b = np.asarray(deq[name])
+        amax = np.abs(a).max(axis=-1, keepdims=True)
+        assert (np.abs(a - b) <= amax / 127 / 2 + 1e-8).all()
+    w = np.asarray(params["layers"]["q_w"], np.float32)
+    wd = np.asarray(deq["layers"]["q_w"])
+    smax = np.abs(w).max(axis=-2, keepdims=True)
+    assert (np.abs(w - wd) <= smax / 127 / 2 + 1e-8).all()
+
+
+def test_export_hf_dequantizes_int8():
+    from streamvln_tpu.configs import tiny_streamvln
+    from streamvln_tpu.models import streamvln
+    from streamvln_tpu.utils.checkpoint import export_hf
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_llm(params, quantize_embed=True)
+    sd_fp = export_hf(params, cfg)
+    sd_q = export_hf(qparams, cfg)
+    assert set(sd_fp) == set(sd_q)
+    for k in sd_q:
+        assert sd_q[k].dtype == np.float32, k
+    emb = sd_fp["model.embed_tokens.weight"]
+    emb_q = sd_q["model.embed_tokens.weight"]
+    amax = np.abs(emb).max(axis=-1, keepdims=True)
+    assert (np.abs(emb - emb_q) <= amax / 127 / 2 + 1e-8).all()
+    w = sd_fp["model.layers.0.mlp.gate_proj.weight"]
+    wq = sd_q["model.layers.0.mlp.gate_proj.weight"]
+    assert np.abs(w - wq).max() < np.abs(w).max() / 64
