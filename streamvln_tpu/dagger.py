@@ -28,7 +28,7 @@ import numpy as np
 
 from streamvln_tpu.agent import VLNAgent
 from streamvln_tpu.eval.fake_env import FakeNavEnv, make_episodes
-from streamvln_tpu.eval.shortest_path import PlaneShortestPathFollower
+from streamvln_tpu.eval.shortest_path import make_follower
 from streamvln_tpu.trajectory_generation import merge as merge_annotations
 
 MIDGOAL_RADIUS = 0.5
@@ -60,7 +60,7 @@ class DAggerCollector:
         env.current_episode = episode
         obs = env.reset()
         self.agent.reset_memory(0)
-        follower = PlaneShortestPathFollower(env, MIDGOAL_RADIUS)
+        follower = make_follower(env, MIDGOAL_RADIUS)
         ref_path = episode.reference_path
         ref_actions_len = max(len(ref_path) * 4, 1)
 
@@ -119,7 +119,7 @@ class DAggerCollector:
                     break
 
             # expert takeover on intolerable error (:350-357)
-            d2g = env._tracker.distance_to_goal
+            d2g = env.distance_to_goal()
             if next_wp < len(ref_path):
                 err_budget = max(1, ref_actions_len // max(
                     len(ref_path) - 1, 1))
@@ -192,6 +192,23 @@ class DAggerCollector:
         return part
 
 
+def build_env(backend: str, habitat_config_path: str, split: str,
+              num_episodes: int, seed: int):
+    """habitat when requested (geodesic expert on real scenes,
+    reference: streamvln_dagger.py:330-357), else the fake plane env."""
+    if backend == "habitat":
+        from streamvln_tpu.eval.habitat_backend import make_habitat_env
+        return make_habitat_env(habitat_config_path, split)
+    if backend == "auto":
+        try:
+            from streamvln_tpu.eval.habitat_backend import (
+                make_habitat_env)
+            return make_habitat_env(habitat_config_path, split)
+        except ImportError:
+            pass
+    return FakeNavEnv(make_episodes(num_episodes, seed=seed))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--output_path", required=True)
@@ -204,11 +221,17 @@ def main(argv=None):
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world_size", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--env_backend", choices=["habitat", "fake", "auto"],
+                   default="auto")
+    p.add_argument("--habitat_config_path",
+                   default="config/vln_dagger.yaml")
+    p.add_argument("--split", default="train")
     args = p.parse_args(argv)
 
     from streamvln_tpu.eval_cli import build_agent
     agent = build_agent(args.model_path, args.model_size)
-    env = FakeNavEnv(make_episodes(args.num_episodes, seed=args.seed))
+    env = build_env(args.env_backend, args.habitat_config_path,
+                    args.split, args.num_episodes, args.seed)
     collector = DAggerCollector(
         agent, args.output_path, p=args.dagger_p,
         data_iteration=args.dagger_data_it,

@@ -116,6 +116,11 @@ class FakeNavEnv:
     def get_metrics(self) -> dict:
         return self._tracker.metrics()
 
+    def distance_to_goal(self) -> float:
+        """Mid-episode distance to goal (same surface as
+        HabitatEnvAdapter.distance_to_goal)."""
+        return float(self._tracker.distance_to_goal)
+
     def close(self):
         pass
 

@@ -15,6 +15,15 @@ from streamvln_tpu.eval.fake_env import (
     FORWARD_STEP, TURN_ANGLE_DEG, FakeNavEnv)
 
 
+def make_follower(env, goal_radius: float):
+    """Expert follower for any backend: habitat envs provide their own
+    geodesic follower (eval/habitat_backend.HabitatEnvAdapter
+    .make_follower); the fake plane env gets the straight-line one."""
+    if hasattr(env, "make_follower"):
+        return env.make_follower(goal_radius)
+    return PlaneShortestPathFollower(env, goal_radius)
+
+
 class PlaneShortestPathFollower:
     def __init__(self, env: FakeNavEnv, goal_radius: float = 0.25):
         self.env = env

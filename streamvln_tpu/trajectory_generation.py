@@ -20,7 +20,7 @@ from typing import List, Optional
 import numpy as np
 
 from streamvln_tpu.eval.fake_env import FakeNavEnv, make_episodes
-from streamvln_tpu.eval.shortest_path import PlaneShortestPathFollower
+from streamvln_tpu.eval.shortest_path import make_follower
 
 WAYPOINT_RADIUS = 0.5
 FINAL_RADIUS = 0.25
@@ -36,7 +36,7 @@ def generate_episode(env: FakeNavEnv, episode, dataset: str,
     longer than 498 actions are dropped."""
     env.current_episode = episode
     obs = env.reset()
-    follower = PlaneShortestPathFollower(env, WAYPOINT_RADIUS)
+    follower = make_follower(env, WAYPOINT_RADIUS)
     ref_path = episode.reference_path
     assert ref_path is not None
 
@@ -117,9 +117,19 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--rgb_height", type=int, default=480)
     p.add_argument("--rgb_width", type=int, default=640)
+    p.add_argument("--env_backend", choices=["habitat", "fake", "auto"],
+                   default="auto")
+    p.add_argument("--habitat_config_path",
+                   default="config/vln_r2r.yaml")
+    p.add_argument("--split", default="train")
     args = p.parse_args(argv)
-    env = FakeNavEnv(make_episodes(args.num_episodes, seed=args.seed),
-                     rgb_shape=(args.rgb_height, args.rgb_width, 3))
+    if args.env_backend != "fake":
+        from streamvln_tpu.dagger import build_env
+        env = build_env(args.env_backend, args.habitat_config_path,
+                        args.split, args.num_episodes, args.seed)
+    else:
+        env = FakeNavEnv(make_episodes(args.num_episodes, seed=args.seed),
+                         rgb_shape=(args.rgb_height, args.rgb_width, 3))
     run(env, args.output_path, args.dataset, args.rank, args.world_size)
     if args.rank == 0:
         merged = merge(args.output_path, args.world_size)

@@ -1,0 +1,171 @@
+"""habitat_extensions measures + habitat_backend adapter, unit-tested
+against the in-tree habitat stub (no habitat-sim needed)."""
+import importlib
+import sys
+
+import numpy as np
+import pytest
+
+import habitat_stub
+
+
+@pytest.fixture()
+def habitat_env():
+    mods, registry = habitat_stub.install()
+    # the extension modules cache habitat imports/classes — reload fresh
+    for m in ("streamvln_tpu.habitat_extensions.measures",
+              "streamvln_tpu.habitat_extensions"):
+        sys.modules.pop(m, None)
+    yield registry
+    habitat_stub.uninstall(mods)
+    for m in ("streamvln_tpu.habitat_extensions.measures",
+              "streamvln_tpu.habitat_extensions"):
+        sys.modules.pop(m, None)
+
+
+class _Measurements:
+    def __init__(self, measures):
+        self.measures = measures
+
+    def check_measure_dependencies(self, uuid, deps):
+        for d in deps:
+            assert d in self.measures, (uuid, d)
+
+
+class _Task:
+    def __init__(self, measures):
+        self.measurements = _Measurements(measures)
+
+
+class _Scripted:
+    """Stands in for stock habitat measures (distance_to_goal etc.)."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def get_metric(self):
+        return self.value
+
+
+def test_measures_register_and_compute(habitat_env):
+    registry = habitat_env
+    from streamvln_tpu import habitat_extensions
+    classes = habitat_extensions.register_measures().register_all()
+    for name in ("PathLength", "OracleNavigationError", "OracleSuccess",
+                 "OracleSPL", "PL", "StepsTaken", "NDTW"):
+        assert name in registry.measures, name
+
+    sim = habitat_stub.StubSim(start=(0.0, 0.0, 0.0))
+    d2g = _Scripted(5.0)
+    spl = _Scripted(0.0)
+    task = _Task({"distance_to_goal": d2g, "spl": spl,
+                  "success": _Scripted(0.0)})
+
+    pathlen = classes["PathLength"](sim=sim)
+    one = classes["OracleNavigationError"]()
+    osr = classes["OracleSuccess"]()
+    ospl = classes["OracleSPL"]()
+    pl = classes["PL"](sim=sim)
+    steps = classes["StepsTaken"]()
+
+    for m in (pathlen, one, osr, ospl, pl, steps):
+        m.reset_metric(task=task)
+
+    script = [((1.0, 0.0, 0.0), 4.0, 0.0),
+              ((2.0, 0.0, 0.0), 2.5, 0.6),   # dips under 3.0
+              ((2.0, 1.0, 0.0), 4.0, 0.4)]
+    for pos, d, s in script:
+        sim.position = np.asarray(pos)
+        d2g.value, spl.value = d, s
+        for m in (pathlen, one, osr, ospl, pl, steps):
+            m.update_metric(task=task)
+
+    assert pathlen.get_metric() == pytest.approx(3.0)     # 1+1+1
+    assert one.get_metric() == pytest.approx(2.5)
+    assert osr.get_metric() == 1.0
+    assert ospl.get_metric() == pytest.approx(0.6)
+    # d_start 5, walked 3 -> 5/max(5,3) = 1.0 (shorter than optimal)
+    assert pl.get_metric() == pytest.approx(1.0)
+    assert steps.get_metric() == 3.0
+
+    # PL drops below 1 once the walk exceeds the start distance
+    for x in range(3, 9):
+        sim.position = np.asarray((2.0, float(x - 1), 0.0))
+        pl.update_metric(task=task)
+    assert pl.get_metric() == pytest.approx(5.0 / 9.0)
+
+
+def test_ndtw_measure_matches_metrics_helper(habitat_env):
+    from streamvln_tpu import habitat_extensions
+    from streamvln_tpu.eval.metrics import ndtw
+    classes = habitat_extensions.register_measures().register_all()
+
+    sim = habitat_stub.StubSim(start=(0.0, 0.0, 0.0))
+    ref = [[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]]
+    ep = habitat_stub.StubEpisode("0", "s", "t", (0, 0, 0),
+                                  (3, 0, 0), ref)
+    m = classes["NDTW"](sim=sim)
+    m.reset_metric(task=None, episode=ep)
+    path = [(0.0, 0.0, 0.0)]
+    for pos in [(0.5, 0.2, 0.0), (1.5, 0.1, 0.0), (2.8, 0.0, 0.0)]:
+        sim.position = np.asarray(pos)
+        m.update_metric()
+        path.append(pos)
+    expected = ndtw(np.asarray(path), np.asarray(ref, np.float64),
+                    threshold=3.0)
+    assert m.get_metric() == pytest.approx(expected)
+
+
+def test_backend_adapter_and_follower(habitat_env, tmp_path):
+    # stub get_config reads our shipped yaml (defaults dropped)
+    from streamvln_tpu.eval import habitat_backend
+    importlib.reload(habitat_backend)
+
+    env = habitat_backend.make_habitat_env("config/vln_r2r.yaml",
+                                           "val_unseen")
+    cfg = env.config
+    assert cfg.habitat.dataset.split == "val_unseen"
+    assert cfg.habitat.simulator.forward_step_size == 0.25
+    assert cfg.habitat.simulator.turn_angle == 15
+    sensors = cfg.habitat.simulator.agents["main_agent"].sim_sensors
+    assert sensors["rgb_sensor"]["width"] == 640
+    assert sensors["depth_sensor"]["max_depth"] == 10.0
+    assert cfg.habitat.environment.max_episode_steps == 500
+
+    # episode views are cached (no per-access rebuild)
+    eps = env.episodes
+    assert eps is env.episodes
+    assert eps[1].instruction_text == "instruction 1"
+    assert eps[1].goal_position == [4.0, 0, 0]
+
+    env.current_episode = eps[1]
+    obs = env.reset()
+    assert obs["rgb"].shape == (480, 640, 3)
+    assert env.distance_to_goal() == pytest.approx(4.0)
+
+    follower = env.make_follower(0.5)
+    goal = eps[1].goal_position
+    n = 0
+    while not env.episode_over and n < 50:
+        act = follower.get_next_action(goal)
+        if act == 0:
+            break
+        env.step(act)
+        n += 1
+    assert env.distance_to_goal() < 0.5
+    # follower None -> STOP mapping
+    assert follower.get_next_action(goal) == 0
+    # goal_radius is mutable (DAgger tightens it on the last waypoint)
+    follower.goal_radius = 0.1
+    assert follower.get_next_action(goal) == 1
+
+
+def test_dagger_build_env_falls_back_without_habitat():
+    # no stub installed here: auto backend must fall back to FakeNavEnv
+    assert "habitat" not in sys.modules or not hasattr(
+        sys.modules["habitat"], "__file__")
+    from streamvln_tpu.dagger import build_env
+    from streamvln_tpu.eval.fake_env import FakeNavEnv
+    env = build_env("auto", "config/vln_dagger.yaml", "train", 3, 0)
+    assert isinstance(env, FakeNavEnv)
+    assert len(env.episodes) == 3
