@@ -108,9 +108,19 @@ class HFTokenizerAdapter:
         self._tok.add_tokens(["<memory>"], special_tokens=True)
         self.image_token_id = self._tok.convert_tokens_to_ids("<image>")
         self.memory_token_id = self._tok.convert_tokens_to_ids("<memory>")
-        self.im_start_id, self.im_end_id = \
-            self._tok.additional_special_tokens_ids[:2]
-        self.newline_id = 198
+        self.im_start_id = self._tok.convert_tokens_to_ids("<|im_start|>")
+        self.im_end_id = self._tok.convert_tokens_to_ids("<|im_end|>")
+        if None in (self.im_start_id, self.im_end_id):
+            # older checkpoints: first two additional specials are
+            # im_start/im_end (reference: vln_action_dataset.py:244)
+            self.im_start_id, self.im_end_id = \
+                self._tok.additional_special_tokens_ids[:2]
+        # the standalone-newline token joins the unmask set; 198 on the
+        # real Qwen2 vocab (reference: vln_action_dataset.py:246) —
+        # derived from the vocab here so any BPE works
+        nl = self._tok("\n", add_special_tokens=False)["input_ids"]
+        assert len(nl) == 1, f"newline is not a single token: {nl}"
+        self.newline_id = nl[0]
         self.eos_id = self._tok.convert_tokens_to_ids("<|im_end|>")
         self.pad_id = (self._tok.pad_token_id
                        if self._tok.pad_token_id is not None
