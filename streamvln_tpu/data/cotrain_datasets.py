@@ -123,6 +123,8 @@ class ConversationDataset:
     def __len__(self):
         return len(self.entries)
 
+    VIDEO_EXTS = (".mp4", ".mkv", ".avi", ".webm", ".mov", ".m4v")
+
     def _frame_paths(self, entry: dict) -> List[str]:
         media = entry.get("video") or entry.get("image")
         if isinstance(media, list):
@@ -138,13 +140,65 @@ class ConversationDataset:
             return [os.path.join(path, frames[i]) for i in idx]
         return [path]
 
+    def _load_media(self, entry: dict):
+        """-> (images [N, S, S, 3] f32, n_frames). Video FILES are
+        container-decoded (LLaVA-Video-178K-style data; reference:
+        llava/utils.py:32-81); frame dirs / image files as before."""
+        media = entry.get("video") or entry.get("image")
+        if isinstance(media, str) and media.lower().endswith(
+                self.VIDEO_EXTS):
+            frames = self._decode_video(
+                os.path.join(self.media_root, media))
+            return self._preprocess_frames(frames), len(frames)
+        paths = self._frame_paths(entry)
+        return self._load(paths), len(paths)
+
+    def _decode_video(self, path: str) -> np.ndarray:
+        """Uniform num_frames_qa sample from a video container: native
+        C++ (libav) when buildable, cv2 otherwise."""
+        from streamvln_tpu import native
+        if native.video_available():
+            return native.video_sample_frames(
+                path, frames_upbound=self.num_frames_qa,
+                force_sample=True)
+        import cv2
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise ValueError(f"cannot open video {path}")
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        idx = set(np.linspace(0, max(total - 1, 0),
+                              min(self.num_frames_qa, max(total, 1)),
+                              dtype=int).tolist())
+        frames, i = [], 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if i in idx:
+                frames.append(frame[:, :, ::-1].copy())   # BGR -> RGB
+            i += 1
+        cap.release()
+        if not frames:
+            raise ValueError(f"no frames decoded from {path}")
+        return np.stack(frames)
+
+    def _preprocess_frames(self, frames_u8: np.ndarray) -> np.ndarray:
+        from PIL import Image
+        raw = []
+        for frame in frames_u8:
+            img = Image.fromarray(frame)
+            if self.transform is not None:
+                img = self.transform(img)
+            raw.append(np.asarray(
+                img.resize((self.image_size, self.image_size),
+                           Image.BICUBIC), np.uint8))
+        return preprocess_frames_host(np.stack(raw), self.image_size)
+
     def __getitem__(self, i: int) -> dict:
         entry = self.entries[i]
-        paths = self._frame_paths(entry)
-        images = self._load(paths)
+        images, n_img = self._load_media(entry)
 
         turns = []
-        n_img = len(paths)
         for t, conv in enumerate(entry["conversations"]):
             role = "user" if conv.get("from", conv.get("role")) in (
                 "human", "user") else "assistant"
@@ -161,7 +215,7 @@ class ConversationDataset:
             "input_ids": input_ids,
             "labels": labels,
             "images": images,
-            "time_ids": np.arange(len(paths), dtype=np.int32),
+            "time_ids": np.arange(n_img, dtype=np.int32),
             "task_id": self.task_id,
         }
 

@@ -74,3 +74,66 @@ def test_upscale_path():
     ours = native.preprocess_batch(frames, size=64)
     ref = preprocess_frames_host(frames, size=64)
     assert np.abs(ours - ref).max() < 0.08
+
+
+# ---------------------------------------------------------------------------
+# Native video decode (libav) + ConversationDataset video-file path
+# ---------------------------------------------------------------------------
+
+def _write_test_video(path, n_frames=30, w=64, h=48, fps=10):
+    cv2 = pytest.importorskip("cv2")
+    wr = cv2.VideoWriter(str(path),
+                         cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    assert wr.isOpened()
+    for i in range(n_frames):
+        img = np.full((h, w, 3), i * 8 % 256, np.uint8)
+        img[:, : w // 8] = (255, 0, 0)          # BGR blue stripe
+        wr.write(img)
+    wr.release()
+
+
+def test_video_info_and_sampling(tmp_path):
+    from streamvln_tpu import native
+    if not native.video_available():
+        pytest.skip(f"libav unavailable: {native.video_build_error()}")
+    p = tmp_path / "clip.mp4"
+    _write_test_video(p, n_frames=30)
+    w, h, fps, n = native.video_info(str(p))
+    assert (w, h, n) == (64, 48, 30)
+    assert fps == pytest.approx(10.0, rel=0.1)
+
+    frames = native.video_sample_frames(str(p), frames_upbound=8,
+                                        force_sample=True)
+    assert frames.shape == (8, 48, 64, 3)
+    # stripe written as BGR blue -> RGB blue after decode
+    assert frames[0, 0, 0, 2] > 180 and frames[0, 0, 0, 0] < 60
+    # brightness ramps across sampled frames (ordering preserved)
+    mids = frames[:, 24, 40, 1].astype(int)
+    assert mids[-1] > mids[0] + 80
+
+    # explicit indices roundtrip
+    picked = native.video_read_frames(str(p), [0, 10, 29])
+    assert picked.shape == (3, 48, 64, 3)
+    assert int(picked[2, 24, 40, 1]) > int(picked[0, 24, 40, 1])
+
+
+def test_conversation_dataset_consumes_video_file(tmp_path):
+    pytest.importorskip("cv2")
+    from streamvln_tpu.configs import tiny_streamvln
+    from streamvln_tpu.data.cotrain_datasets import ConversationDataset
+    from streamvln_tpu.data.tokenizer import ByteTokenizer
+
+    _write_test_video(tmp_path / "clip.mp4", n_frames=20)
+    entry = {"id": 0, "video": "clip.mp4", "conversations": [
+        {"from": "human", "value": "What color is the stripe?"},
+        {"from": "gpt", "value": "Blue."}]}
+    cfg = tiny_streamvln()
+    ds = ConversationDataset(ByteTokenizer(), cfg, [entry],
+                             str(tmp_path), num_frames_qa=4)
+    sample = ds[0]
+    S = cfg.vision.image_size
+    assert sample["images"].shape == (4, S, S, 3)
+    assert sample["images"].dtype == np.float32
+    # one <image> sentinel per sampled frame was injected
+    assert (sample["input_ids"] == -200).sum() == 4
+    assert sample["time_ids"].tolist() == [0, 1, 2, 3]
