@@ -51,7 +51,12 @@ def main():
     else:
         cfg = configs.tiny_streamvln()
 
-    n_envs = int(os.environ.get("BENCH_ENVS", "1"))
+    env_configs = os.environ.get("BENCH_ENVS", "")
+    if env_configs:
+        env_counts = [int(v) for v in env_configs.split(",")]
+    else:
+        # default: headline 1-env latency plus the batched-env aggregate
+        env_counts = [1, 8] if backend == "tpu" else [1]
     max_new = int(os.environ.get("BENCH_MAX_NEW", "12"))
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
     if model_name.endswith("-int8"):
@@ -68,12 +73,6 @@ def main():
     else:
         params = streamvln.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     tok = ByteTokenizer()
-    engine = StreamingEngine(
-        params, cfg, n_envs=n_envs, cache_capacity=4096,
-        feat_slots=40,
-        max_new_tokens=max_new, stop_ids=(tok.im_end_id,),
-        compute_dtype=dtype,
-        buckets=(256, 512, 768, 1024, 2304, 2560, 3072))
 
     def turn_ids(first: bool, memory: bool):
         if first or memory:
@@ -95,51 +94,70 @@ def main():
     rng = np.random.RandomState(0)
     nfs, nf, nh = cfg.num_future_steps, cfg.num_frames, cfg.num_history
 
-    def run_episode(n_steps, record):
-        engine.reset()
-        for e in range(n_envs):
-            engine.reset_episode(e)
-        lat = []
-        for step in range(0, n_steps, nfs):
-            frame = rng.randint(0, 255, (480, 640, 3), np.uint8)
-            boundary = step != 0 and step % nf == 0
-            if boundary:
-                for e in range(n_envs):
-                    engine.reset_for_env(e)
-            hist = list(range(0, step, step // nh)) if boundary else []
-            ids = turn_ids(first=(step == 0), memory=boundary)
-            t0 = time.perf_counter()
-            # all envs advance in lockstep: one batched dispatch per call
-            engine.generate_batch(
-                [(e, frame, ids, step, tuple(hist))
-                 for e in range(n_envs)])
-            jax.block_until_ready(engine.cache.length)
-            lat.append(time.perf_counter() - t0)
-        if record:
-            return lat
-        return []
+    def measure(n_envs):
+        engine = StreamingEngine(
+            params, cfg, n_envs=n_envs, cache_capacity=4096,
+            feat_slots=40,
+            max_new_tokens=max_new, stop_ids=(tok.im_end_id,),
+            compute_dtype=dtype,
+            buckets=(256, 512, 768, 1024, 2304, 2560, 3072))
 
-    run_episode(2 * nf, record=False)          # warmup / compile
-    lat = run_episode(2 * nf, record=True)     # timed: 2 windows
+        def run_episode(n_steps, record):
+            engine.reset()
+            for e in range(n_envs):
+                engine.reset_episode(e)
+            lat = []
+            for step in range(0, n_steps, nfs):
+                frame = rng.randint(0, 255, (480, 640, 3), np.uint8)
+                boundary = step != 0 and step % nf == 0
+                if boundary:
+                    for e in range(n_envs):
+                        engine.reset_for_env(e)
+                hist = list(range(0, step, step // nh)) if boundary else []
+                ids = turn_ids(first=(step == 0), memory=boundary)
+                t0 = time.perf_counter()
+                # all envs advance in lockstep: one batched dispatch per call
+                engine.generate_batch(
+                    [(e, frame, ids, step, tuple(hist))
+                     for e in range(n_envs)])
+                # block_until_ready is unreliable through the axon tunnel
+                # (returns early on not-yet-scheduled buffers); a host
+                # readback of the [B] lengths is a true sync.
+                np.asarray(engine.cache.length)
+                lat.append(time.perf_counter() - t0)
+            if record:
+                return lat
+            return []
 
-    per_call_p50 = float(np.percentile(lat, 50))
-    # one call covers num_future_steps env steps, for every env at once
-    step_hz = nfs * n_envs / per_call_p50
-    result = {
-        "metric": "per_step_action_decode_p50",
-        "value": round(step_hz, 3),
-        "unit": "Hz",
-        "vs_baseline": round(step_hz / TARGET_HZ, 3),
-        "config": {
-            "model": model_name,
-            "backend": backend,
+        run_episode(2 * nf, record=False)          # warmup / compile
+        lat = run_episode(2 * nf, record=True)     # timed: 2 windows
+
+        per_call_p50 = float(np.percentile(lat, 50))
+        # one call covers num_future_steps env steps, for every env at once
+        return {
             "n_envs": n_envs,
+            "hz": round(nfs * n_envs / per_call_p50, 3),
             "per_call_p50_ms": round(per_call_p50 * 1000, 2),
             "per_call_mean_ms": round(float(np.mean(lat)) * 1000, 2),
             "calls": len(lat),
+        }
+
+    runs = [measure(n) for n in env_counts]
+    head = runs[0]
+    result = {
+        "metric": "per_step_action_decode_p50",
+        "value": head["hz"],
+        "unit": "Hz",
+        "vs_baseline": round(head["hz"] / TARGET_HZ, 3),
+        "config": {
+            "model": model_name,
+            "backend": backend,
             "max_new_tokens": max_new,
+            **{k: v for k, v in head.items() if k != "hz"},
         },
     }
+    if len(runs) > 1:
+        result["batched"] = runs[1:]
     print(json.dumps(result))
 
 

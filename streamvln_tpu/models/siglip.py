@@ -102,6 +102,7 @@ def forward(params: Params, cfg: SigLIPConfig, images: jax.Array,
     N = cfg.num_patches
 
     def block(x, p):
+        in_dtype = x.dtype
         h = layer_norm(x, p["ln1_s"], p["ln1_b"], cfg.layer_norm_eps)
         q = (jnp.dot(h, p["q_w"]) + p["q_b"]).reshape(B, N, H, Dh)
         k = (jnp.dot(h, p["k_w"]) + p["k_b"]).reshape(B, N, H, Dh)
@@ -113,7 +114,9 @@ def forward(params: Params, cfg: SigLIPConfig, images: jax.Array,
         h = jnp.dot(h, p["fc1_w"]) + p["fc1_b"]
         h = jax.nn.gelu(h, approximate=True)     # gelu_pytorch_tanh
         x = x + jnp.dot(h, p["fc2_w"]) + p["fc2_b"]
-        return x, None
+        # mixed precision (bf16 activations over f32 params) must not
+        # drift the scan carry dtype
+        return x.astype(in_dtype), None
 
     block_fn = jax.checkpoint(block) if remat else block
     x, _ = jax.lax.scan(block_fn, x, params["layers"])

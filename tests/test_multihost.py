@@ -1,0 +1,54 @@
+"""Two-process jax.distributed smoke test (VERDICT r1 #9).
+
+Exercises the multi-host init path (streamvln_tpu/train.py:134-135;
+reference: streamvln/utils/dist.py:48-89 torchrun env:// rendezvous) at
+the process level: 2 processes x 4 virtual CPU devices rendezvous over
+localhost, build the global dp2/fsdp4 mesh, and take identical FSDP
+train steps. Asserts both processes see the same replicated loss.
+"""
+import os
+import re
+import socket
+import subprocess
+import sys
+
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_fsdp_train_step():
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+
+    losses = []
+    for out in outs:
+        m = re.search(r"LOSS ([\d.eE+-]+) ([\d.eE+-]+)", out)
+        assert m, out
+        losses.append((float(m.group(1)), float(m.group(2))))
+    # replicated loss must agree across processes, and training moves it
+    assert losses[0] == losses[1], losses
+    assert losses[0][1] != losses[0][0]
