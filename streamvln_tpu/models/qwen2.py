@@ -121,6 +121,27 @@ def _append_rows(buf: jax.Array, new: jax.Array,
     return jax.vmap(one)(buf, new_t, offsets)
 
 
+def _append_stack(buf: jax.Array, new: jax.Array, layer: jax.Array,
+                  offsets: jax.Array) -> jax.Array:
+    """Append new tokens' KV into one layer of a stacked cache, in place.
+
+    buf: [L, B, Hkv, Smax, D] (scan carry — XLA keeps the update
+    in-place, so only the S new tokens are written, not the whole
+    cache); new: [B, S, Hkv, D]; layer: scalar int; offsets: [B].
+    """
+    new_t = new.transpose(0, 2, 1, 3)        # [B, Hkv, S, D]
+    # Unrolled per-row dynamic_update_slice (B is static): a DUS chain
+    # on the scan carry aliases in place, whereas a vmapped DUS lowers
+    # to a scatter that XLA copies (measured: one full-capacity
+    # read+write per decoded token).
+    zero = jnp.zeros((), jnp.int32)
+    for b in range(new.shape[0]):
+        buf = jax.lax.dynamic_update_slice(
+            buf, new_t[b][None, None],
+            (layer, jnp.int32(b), zero, offsets[b], zero))
+    return buf
+
+
 # ---------------------------------------------------------------------------
 # Init
 # ---------------------------------------------------------------------------
@@ -255,12 +276,27 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
     k = apply_rope(k, positions, cfg.rope_theta)
 
     if cache_kv is not None:
-        ck, cv = cache_kv
-        ck = _append_rows(ck, k, cache_offsets)   # [B, Hkv, Smax, Dh]
-        cv = _append_rows(cv, v, cache_offsets)
+        if len(cache_kv) == 3:
+            # stacked-carry path: whole [L, ...] cache + layer index.
+            # Append the S new tokens in place (the cache rides the scan
+            # carry, so XLA writes only the new tokens instead of
+            # slice-copying + re-stacking the full capacity every step),
+            # then read this layer's slice for attention.
+            kc, vc, layer_idx = cache_kv
+            kc = _append_stack(kc, k, layer_idx, cache_offsets)
+            vc = _append_stack(vc, v, layer_idx, cache_offsets)
+            ck = jax.lax.dynamic_index_in_dim(kc, layer_idx, 0,
+                                              keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(vc, layer_idx, 0,
+                                              keepdims=False)
+            new_cache = (kc, vc)
+        else:
+            ck, cv = cache_kv
+            ck = _append_rows(ck, k, cache_offsets)  # [B, Hkv, Smax, Dh]
+            cv = _append_rows(cv, v, cache_offsets)
+            new_cache = (ck, cv)
         attn = _attend(cfg, attn_impl, q, ck, cv, positions, k_pos,
                        kv_major=True)
-        new_cache = (ck, cv)
     else:
         attn = _attend(cfg, attn_impl, q, k, v, positions, k_pos)
         new_cache = None
@@ -318,17 +354,19 @@ def forward(
         lora_scale = params.get("lora_scale")
 
         def step(carry, xs):
-            x = carry
-            lp, ck, cv = xs
-            x, (nk, nv) = _layer_step(
+            x, kc, vc = carry
+            lp, layer_idx = xs
+            x, (kc, vc) = _layer_step(
                 cfg, attn_impl, x, lp, positions, k_pos,
-                cache_kv=(ck, cv), cache_offsets=offsets,
+                cache_kv=(kc, vc, layer_idx), cache_offsets=offsets,
                 lora_scale=lora_scale)
-            return x, (nk, nv)
+            return (x, kc, vc), None
 
         step_fn = jax.checkpoint(step) if remat else step
-        x, (new_k, new_v) = jax.lax.scan(
-            step_fn, x, (params["layers"], cache.k, cache.v))
+        (x, new_k, new_v), _ = jax.lax.scan(
+            step_fn, (x, cache.k, cache.v),
+            (params["layers"],
+             jnp.arange(cfg.num_layers, dtype=jnp.int32)))
         new_cache = KVCache(new_k, new_v, cache.length + new_lengths)
     else:
         if valid is None:

@@ -58,6 +58,27 @@ def test_perceiver_resampler():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_qformer_resampler():
+    # tiny config: 4 layers, cross-attention every 2nd, 8 latents,
+    # hidden 32 independent of the 16-dim input features
+    init, apply = build_resampler("qformer", num_latents=8,
+                                  hidden_size=32, num_layers=4,
+                                  num_heads=4, cross_attention_freq=2,
+                                  intermediate_size=64)
+    params = init(jax.random.PRNGKey(0), 16)
+    # layers 0 and 2 carry cross-attention; 1 and 3 do not
+    assert "cross" in params["layers"][0]
+    assert "cross" not in params["layers"][1]
+    assert "cross" in params["layers"][2]
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 16))
+    out = apply(params, x)
+    assert out.shape == (2, 8, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    # output depends on the image features through cross-attention
+    out2 = apply(params, x + 1.0)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
 # -- anyres --------------------------------------------------------------
 
 def test_select_best_resolution():
@@ -107,6 +128,59 @@ def test_vicuna_and_llama_templates_render():
     l2.append_message("ASSISTANT", "hello")
     s = l2.get_prompt()
     assert s.startswith("<s>[INST]") and "[/INST] hello </s>" in s
+
+
+def test_registry_breadth_and_new_styles():
+    # all 26 reference names resolve (llava/conversation.py:566-593)
+    for name in ["default", "v0", "v1", "vicuna_v1", "llama_2",
+                 "mistral_instruct", "mistral_orca", "mistral_zephyr",
+                 "mistral_direct", "plain", "v0_plain",
+                 "chatml_direct", "llava_v0", "llava_v0_mmtag",
+                 "llava_v1", "llava_v1_mmtag", "llava_llama_2",
+                 "llava_llama_3", "llava_llama_2_simple",
+                 "llava_llama_2_mmtag", "llava_mistral_instruct",
+                 "mpt", "qwen_1_5", "qwen_2", "qwen_2_5",
+                 "gemma_instruct"]:
+        assert name in conv_templates, name
+
+    v0 = conv_templates["llava_v0"].copy()
+    v0.append_message("Human", "hi")
+    v0.append_message("Assistant", None)
+    s = v0.get_prompt()
+    assert "###Human: hi###Assistant:" in s
+
+    mpt = conv_templates["mpt"].copy()
+    mpt.append_message(mpt.roles[0], "hi")
+    mpt.append_message(mpt.roles[1], None)
+    s = mpt.get_prompt()
+    assert s.endswith("<|im_start|>user\nhi<|im_end|>"
+                      "<|im_start|>assistant\n")
+
+    z = conv_templates["mistral_zephyr"].copy()
+    z.append_message(z.roles[0], "hi")
+    z.append_message(z.roles[1], "yo")
+    assert "<|user|>\nhi</s><|assistant|>\nyo</s>" in z.get_prompt()
+
+    l3 = conv_templates["llava_llama_3"].copy()
+    l3.append_message("user", "hi")
+    l3.append_message("assistant", None)
+    s = l3.get_prompt()
+    assert s.startswith("<|begin_of_text|>"
+                        "<|start_header_id|>system<|end_header_id|>")
+    assert s.endswith(
+        "<|start_header_id|>user<|end_header_id|>\n\nhi<|eot_id|>"
+        "<|start_header_id|>assistant<|end_header_id|>\n\n")
+
+    g = conv_templates["gemma_instruct"].copy()
+    g.append_message("user", "hi")
+    g.append_message("model", "yo")
+    assert g.get_prompt() == ("<start_of_turn>user\nhi<end_of_turn>\n"
+                              "<start_of_turn>model\nyo<end_of_turn>\n")
+
+    mi = conv_templates["mistral_instruct"].copy()
+    mi.append_message("USER", "hi")
+    mi.append_message("ASSISTANT", "yo")
+    assert mi.get_prompt() == "[INST] hi [/INST] yo </s>"
 
 
 # -- weight tools ----------------------------------------------------------
