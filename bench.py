@@ -58,6 +58,13 @@ def main():
         # default: headline 1-env latency plus the batched-env aggregate
         env_counts = [1, 8] if backend == "tpu" else [1]
     max_new = int(os.environ.get("BENCH_MAX_NEW", "12"))
+    if os.environ.get("BENCH_ACT_INT8") == "1" \
+            and model_name.endswith("-int8"):
+        # int8 x int8 MXU matmuls (per-token activation quant): ~27%
+        # faster prefill, bandwidth-neutral decode
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, act_int8=True))
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
     if model_name.endswith("-int8"):
         from streamvln_tpu.models import projector as proj_lib

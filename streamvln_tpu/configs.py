@@ -61,6 +61,11 @@ class Qwen2Config:
     attn_logits_soft_cap: Optional[float] = None
     # qkv projections carry bias in Qwen2; o/gate/up/down do not.
     qkv_bias: bool = True
+    # int8 x int8 MXU matmuls with per-token dynamic activation quant
+    # (models/quant.py::int8_dynamic_matmul); only meaningful when the
+    # weights are int8-quantized, and only wins on compute-bound
+    # shapes (prefill) — decode at bs=1 stays bandwidth-bound.
+    act_int8: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

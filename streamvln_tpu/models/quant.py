@@ -28,6 +28,32 @@ def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale.astype(jnp.float32)
 
 
+def int8_dynamic_matmul(x: jax.Array, w_q: jax.Array,
+                        w_scale: jax.Array) -> jax.Array:
+    """int8 x int8 MXU matmul with per-token dynamic activation quant.
+
+    x: [..., din] float; w_q: int8 [din, dout] (per-output-channel
+    symmetric, scales w_scale [1, dout] f32). The activation row is
+    absmax-quantized on the fly, the contraction accumulates in int32
+    on the MXU (2x the bf16 peak on v5e), and both scales are applied
+    to the int32 result. Returns f32 [..., dout].
+
+    Replaces the compute half of the reference's bitsandbytes int8
+    inference path (streamvln_train.py:1564-1600) for compute-bound
+    stages (prefill/training); decode at bs=1 is bandwidth-bound and
+    gains nothing.
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(absmax, 1e-8) / 127.0
+    x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * x_scale \
+        * w_scale.astype(jnp.float32).reshape(w_scale.shape[-1])
+
+
 def quantize_llm(params: dict,
                  targets: Sequence[str] = QUANT_TARGETS,
                  quantize_embed: bool = False) -> dict:

@@ -226,20 +226,30 @@ def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos,
                            logits_soft_cap=cfg.attn_logits_soft_cap)
 
 
-def _proj(x, p, name, lora_scale=None):
+def _proj(x, p, name, lora_scale=None, act_int8=False):
     """x @ p[name] (+ bias if present) with optional LoRA delta.
 
     int8 weights (models/quant.py): per-output-column scales commute
     with the contraction, so the scale is applied to the OUTPUT —
     `dot(x, w_i8) * scale` — which lets XLA fuse the int8->bf16 convert
     into the dot's operand stream instead of materializing a scaled
-    full-precision weight copy (2x decode HBM traffic otherwise)."""
+    full-precision weight copy (2x decode HBM traffic otherwise).
+    act_int8 additionally quantizes the activations per-token so the
+    contraction runs int8 x int8 -> int32 on the MXU (2x peak; for
+    compute-bound prefill, cfg.act_int8)."""
     w = p[name]
     scale = None
     if w.dtype == jnp.int8:
         scale = p[name + "_scale"].astype(jnp.float32)  # [.., 1, dout]
-        w = w.astype(x.dtype)
-    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        if act_int8:
+            from streamvln_tpu.models.quant import int8_dynamic_matmul
+            out = int8_dynamic_matmul(x, w, scale)
+            scale = None
+            w = None
+        else:
+            w = w.astype(x.dtype)
+    if w is not None:
+        out = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if scale is not None:
         out = out * scale
     bias = p.get(name[:-2] + "_b") if name.endswith("_w") else None
@@ -268,9 +278,12 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     h = rms_norm(x, p["ln1"], cfg.rms_norm_eps)
-    q = _proj(h, p, "q_w", lora_scale).reshape(B, S, Hq, Dh)
-    k = _proj(h, p, "k_w", lora_scale).reshape(B, S, Hkv, Dh)
-    v = _proj(h, p, "v_w", lora_scale).reshape(B, S, Hkv, Dh)
+    ai8 = cfg.act_int8
+    q = _proj(h, p, "q_w", lora_scale, ai8).reshape(B, S, Hq, Dh)
+    k = _proj(h, p, "k_w", lora_scale, ai8).reshape(B, S, Hkv,
+                                                    Dh)
+    v = _proj(h, p, "v_w", lora_scale, ai8).reshape(B, S, Hkv,
+                                                    Dh)
 
     q = apply_rope(q, positions, cfg.rope_theta)
     k = apply_rope(k, positions, cfg.rope_theta)
@@ -302,14 +315,14 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
         new_cache = None
 
     attn = attn.reshape(B, S, Hq * Dh)
-    x = x + _proj(attn, p, "o_w", lora_scale)
+    x = x + _proj(attn, p, "o_w", lora_scale, ai8)
 
     h = rms_norm(x, p["ln2"], cfg.rms_norm_eps)
-    gate = _proj(h, p, "gate_w", lora_scale)
-    up = _proj(h, p, "up_w", lora_scale)
+    gate = _proj(h, p, "gate_w", lora_scale, ai8)
+    up = _proj(h, p, "up_w", lora_scale, ai8)
     act = (jax.nn.silu(gate.astype(jnp.float32))
            * up.astype(jnp.float32)).astype(x.dtype)
-    x = x + _proj(act, p, "down_w", lora_scale)
+    x = x + _proj(act, p, "down_w", lora_scale, ai8)
     return x, new_cache
 
 

@@ -76,6 +76,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--log_steps", type=int, default=10)
+    # mid-training eval (reference: llava_trainer_eval.py:8-50 runs
+    # lmms_eval mid-training; here: in-process held-out episode eval)
+    p.add_argument("--eval_steps", type=int, default=0,
+                   help="evaluate every N steps (0 = off)")
+    p.add_argument("--eval_episodes", type=int, default=4)
     p.add_argument("--export_hf", action="store_true",
                    help="also write an HF-format safetensors export")
     p.add_argument("--seed", type=int, default=0)
@@ -189,6 +194,11 @@ def main(argv: Optional[List[str]] = None):
 
     os.makedirs(args.output_dir, exist_ok=True)
     log_path = os.path.join(args.output_dir, "train_log.jsonl")
+    evaluator = None
+    if args.eval_steps > 0:
+        from streamvln_tpu.eval.hook import MidTrainingEvaluator
+        evaluator = MidTrainingEvaluator(
+            cfg, tok, n_episodes=args.eval_episodes, seed=args.seed)
     step = start_step
     t_last = time.perf_counter()
     while step < args.num_steps:
@@ -212,6 +222,14 @@ def main(argv: Optional[List[str]] = None):
                 print(json.dumps(rec), flush=True)
                 with open(log_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
+            if evaluator is not None and step % args.eval_steps == 0:
+                metrics_ev = evaluator.evaluate(
+                    jax.device_get(state.params), step)
+                if proc0:
+                    rec = {"step": step, **metrics_ev}
+                    print(json.dumps(rec), flush=True)
+                    with open(log_path, "a") as f:
+                        f.write(json.dumps(rec) + "\n")
             if step % args.save_steps == 0:
                 ckpt.save_checkpoint(
                     os.path.join(args.output_dir, "ckpt"), state, step)

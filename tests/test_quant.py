@@ -123,3 +123,36 @@ def test_export_hf_dequantizes_int8():
     w = sd_fp["model.layers.0.mlp.gate_proj.weight"]
     wq = sd_q["model.layers.0.mlp.gate_proj.weight"]
     assert np.abs(w - wq).max() < np.abs(w).max() / 64
+
+
+def test_int8_dynamic_matmul_close_to_fp():
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 64).astype(np.float32)
+    w = (rng.randn(64, 32) * 0.05).astype(np.float32)
+    q, scale = quant.quantize_weight(jnp.asarray(w))
+    ref = x @ w
+    out = np.asarray(quant.int8_dynamic_matmul(jnp.asarray(x), q,
+                                               scale))
+    assert out.shape == (4, 32)
+    denom = np.abs(ref).max()
+    assert np.abs(out - ref).max() / denom < 0.02
+
+
+def test_act_int8_forward_close():
+    import dataclasses
+    cfg = tiny_llm()
+    params = quant.quantize_llm(
+        {"llm": qwen2.init(jax.random.PRNGKey(0), cfg)})["llm"]
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0,
+                             cfg.vocab_size)
+    x = qwen2.embed_tokens(params, ids)
+    pos = jnp.broadcast_to(jnp.arange(10), (2, 10))
+    ref, _ = qwen2.forward(params, cfg, x, pos, attn_impl="dense")
+    cfg8 = dataclasses.replace(cfg, act_int8=True)
+    out, _ = qwen2.forward(params, cfg8, x, pos, attn_impl="dense")
+    ref_n = np.asarray(jax.nn.softmax(ref, -1))
+    out_n = np.asarray(jax.nn.softmax(out, -1))
+    assert np.abs(ref_n - out_n).max() < 0.08
+    agree = (np.argmax(np.asarray(ref), -1)
+             == np.argmax(np.asarray(out), -1)).mean()
+    assert agree >= 0.85

@@ -100,3 +100,68 @@ def test_end_to_end_dispatch_and_generate(stack):
     assert isinstance(out["actions"], list)
     status = _post(addr + "/worker_get_status", {})
     assert status["model_names"] == ["streamvln-tiny"]
+
+
+def test_web_server_proxies_chat(stack):
+    from streamvln_tpu.serve.web_server import serve_web
+    ctrl_url, worker_url = stack
+    web_srv = serve_web(ctrl_url, "127.0.0.1", 0)
+    threading.Thread(target=web_srv.serve_forever, daemon=True).start()
+    web_url = f"http://127.0.0.1:{web_srv.server_address[1]}"
+    try:
+        with urllib.request.urlopen(web_url + "/", timeout=10) as r:
+            page = r.read().decode()
+        assert "StreamVLN chat" in page
+        models = _post(web_url + "/api/models", {})["models"]
+        assert models == ["streamvln-tiny"]
+        out = _post(web_url + "/api/chat",
+                    {"model": "streamvln-tiny",
+                     "prompt": "walk to the kitchen"})
+        assert out["error_code"] == 0
+        assert isinstance(out["text"], str)
+        missing = _post(web_url + "/api/chat", {"model": "nope",
+                                                "prompt": "x"})
+        assert missing["error_code"] == 2
+    finally:
+        web_srv.shutdown()
+
+
+def test_batched_worker_waves():
+    from streamvln_tpu.serve.batch_worker import (
+        BatchedWorker, serve_batch_worker)
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(1), cfg)
+    tok = ByteTokenizer()
+    engine = StreamingEngine(
+        params, cfg, n_envs=4, stop_ids=(tok.im_end_id,),
+        compute_dtype=jnp.float32, max_new_tokens=4,
+        cache_capacity=2048, buckets=(512, 768, 1024))
+    agent = VLNAgent(engine, tok)
+    worker = BatchedWorker(agent, tok, "streamvln-tiny-batched",
+                           max_wait_ms=200.0)
+    srv = serve_batch_worker(worker, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        status = _post(url + "/worker_get_status", {})
+        assert status["model_names"] == ["streamvln-tiny-batched"]
+        # concurrent requests coalesce into one engine wave
+        results = [None] * 3
+
+        def call(i):
+            results[i] = _post(url + "/worker_generate",
+                               {"prompt": f"instruction {i}"})
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for r in results:
+            assert r is not None and r["error_code"] == 0
+            assert isinstance(r["text"], str)
+        assert max(r["batch_size"] for r in results) >= 2
+    finally:
+        srv.shutdown()
+        worker.stop()

@@ -64,3 +64,26 @@ def test_train_cli_resumes(traj_root, tmp_path):
     train_entry.main(common + ["--num_steps", "2"])
     state = train_entry.main(common + ["--num_steps", "4"])
     assert int(state.step) == 4
+
+
+def test_train_cli_mid_training_eval(traj_root, tmp_path):
+    from streamvln_tpu import train as train_entry
+    out = str(tmp_path / "run3")
+    train_entry.main([
+        "--video_folders", traj_root,
+        "--output_dir", out,
+        "--model_size", "tiny",
+        "--num_frames", "8", "--num_future_steps", "2",
+        "--num_history", "2",
+        "--num_steps", "2", "--batch_size", "2",
+        "--log_steps", "1", "--save_steps", "10",
+        "--eval_steps", "2", "--eval_episodes", "2",
+        "--dp", "1", "--fsdp", "2",
+        "--learning_rate", "1e-3",
+    ])
+    log = [json.loads(l) for l in
+           open(os.path.join(out, "train_log.jsonl"))]
+    ev = [r for r in log if any(k.startswith("eval/") for k in r)]
+    assert len(ev) == 1
+    keys = set(ev[0])
+    assert "eval/sucs_all" in keys and "eval/spls_all" in keys
