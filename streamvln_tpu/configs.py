@@ -66,6 +66,11 @@ class Qwen2Config:
     # weights are int8-quantized, and only wins on compute-bound
     # shapes (prefill) — decode at bs=1 stays bandwidth-bound.
     act_int8: bool = False
+    # family knobs (Llama/Mistral: defaults; Gemma: gelu MLP,
+    # (1 + w) RMSNorm parameterization, sqrt(hidden) embed scaling)
+    mlp_act: str = "silu"            # "silu" | "gelu_tanh"
+    norm_offset: bool = False
+    scale_embeddings: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +121,62 @@ def qwen2_0_5b() -> Qwen2Config:
         vocab_size=151936, hidden_size=896, intermediate_size=4864,
         num_layers=24, num_heads=14, num_kv_heads=2, head_dim=64,
         tie_word_embeddings=True)
+
+
+def llama2_7b() -> Qwen2Config:
+    """Llama-2-7B (reference LLM-wrapper family:
+    llava/model/language_model/llava_llama.py)."""
+    return Qwen2Config(
+        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+        num_layers=32, num_heads=32, num_kv_heads=32, head_dim=128,
+        rope_theta=10000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=4096, qkv_bias=False)
+
+
+def llama3_8b() -> Qwen2Config:
+    return Qwen2Config(
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=500000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=8192, qkv_bias=False)
+
+
+def mistral_7b() -> Qwen2Config:
+    """Mistral-7B-v0.1 (llava_mistral.py family)."""
+    return Qwen2Config(
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=10000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=32768, qkv_bias=False)
+
+
+def gemma_2b() -> Qwen2Config:
+    """Gemma-2B (llava_gemma.py family): gelu MLP, (1+w) RMSNorm,
+    sqrt(hidden) embedding scale, tied head."""
+    return Qwen2Config(
+        vocab_size=256000, hidden_size=2048, intermediate_size=16384,
+        num_layers=18, num_heads=8, num_kv_heads=1, head_dim=256,
+        rope_theta=10000.0, rms_norm_eps=1e-6,
+        max_position_embeddings=8192, qkv_bias=False,
+        tie_word_embeddings=True, mlp_act="gelu_tanh",
+        norm_offset=True, scale_embeddings=True)
+
+
+LLM_REGISTRY = {
+    "qwen2-7b": qwen2_7b, "qwen2-1.5b": qwen2_1_5b,
+    "qwen2-0.5b": qwen2_0_5b, "llama2-7b": llama2_7b,
+    "llama3-8b": llama3_8b, "mistral-7b": mistral_7b,
+    "gemma-2b": gemma_2b,
+}
+
+
+def llm_config(name: str) -> Qwen2Config:
+    """Family dispatch (reference: llava/model/language_model/* — one
+    wrapper class per HF family; here one parameterized decoder)."""
+    if name not in LLM_REGISTRY:
+        raise ValueError(
+            f"unknown LLM {name!r}; known: {sorted(LLM_REGISTRY)}")
+    return LLM_REGISTRY[name]()
 
 
 def siglip_so400m() -> SigLIPConfig:

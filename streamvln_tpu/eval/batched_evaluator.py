@@ -85,14 +85,23 @@ class BatchedVLNEvaluator:
 
             # 3. while the device decodes, step the simulators of slots
             #    that already have queued actions (host/device overlap —
-            #    SURVEY §7 hard part 5)
+            #    SURVEY §7 hard part 5). With multi-process env workers
+            #    (eval/env_workers.py RemoteEnv), the steps themselves
+            #    also run concurrently across host cores: dispatch all,
+            #    then collect.
             stepped = []
+            async_slots = []
             for slot in queued_slots:
                 self.agent.step(slot, obs[slot]["rgb"],
                                 current[slot].instruction_text,
                                 run_model=False)
                 action = action_q[slot].pop(0)
-                obs[slot] = self.envs[slot].step(action)
+                env = self.envs[slot]
+                if hasattr(env, "step_async"):
+                    env.step_async(action)
+                    async_slots.append(slot)
+                else:
+                    obs[slot] = env.step(action)
                 steps[slot] += 1
                 stepped.append(slot)
 
@@ -106,9 +115,17 @@ class BatchedVLNEvaluator:
                     self.agent.finish_model_step(slot)
                     action_q[slot] = list(actions)
                     action = action_q[slot].pop(0)
-                    obs[slot] = self.envs[slot].step(action)
+                    env = self.envs[slot]
+                    if hasattr(env, "step_async"):
+                        env.step_async(action)
+                        async_slots.append(slot)
+                    else:
+                        obs[slot] = env.step(action)
                     steps[slot] += 1
                     stepped.append(slot)
+
+            for slot in async_slots:
+                obs[slot] = self.envs[slot].step_wait()
 
             # 5. episode bookkeeping
             for slot in stepped:

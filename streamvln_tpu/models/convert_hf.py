@@ -50,13 +50,10 @@ def convert_qwen2(state: Dict[str, Array], cfg: Qwen2Config,
         "ln1": _stack(state, p + "layers.{}.input_layernorm.weight", L),
         "q_w": _stack(state, p + "layers.{}.self_attn.q_proj.weight", L,
                       transpose=True),
-        "q_b": _stack(state, p + "layers.{}.self_attn.q_proj.bias", L),
         "k_w": _stack(state, p + "layers.{}.self_attn.k_proj.weight", L,
                       transpose=True),
-        "k_b": _stack(state, p + "layers.{}.self_attn.k_proj.bias", L),
         "v_w": _stack(state, p + "layers.{}.self_attn.v_proj.weight", L,
                       transpose=True),
-        "v_b": _stack(state, p + "layers.{}.self_attn.v_proj.bias", L),
         "o_w": _stack(state, p + "layers.{}.self_attn.o_proj.weight", L,
                       transpose=True),
         "ln2": _stack(state,
@@ -68,6 +65,11 @@ def convert_qwen2(state: Dict[str, Array], cfg: Qwen2Config,
         "down_w": _stack(state, p + "layers.{}.mlp.down_proj.weight", L,
                          transpose=True),
     }
+    if cfg.qkv_bias:
+        for n in ("q", "k", "v"):
+            layers[f"{n}_b"] = _stack(
+                state, p + "layers.{}.self_attn." + n + "_proj.bias",
+                L)
     params = {
         "embed": state[p + "embed_tokens.weight"],
         "layers": layers,
@@ -76,6 +78,13 @@ def convert_qwen2(state: Dict[str, Array], cfg: Qwen2Config,
     if not cfg.tie_word_embeddings:
         params["lm_head"] = t("lm_head.weight")
     return _to_device(params, dtype)
+
+
+# Llama / Mistral / Gemma share the HF module naming with Qwen2 (the
+# bias-free families just skip the qkv biases above); one converter
+# serves the whole wrapper-family surface (reference:
+# llava/model/language_model/llava_{llama,mistral,gemma}.py).
+convert_llm = convert_qwen2
 
 
 def convert_siglip(state: Dict[str, Array], cfg: SigLIPConfig,

@@ -277,7 +277,9 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
     B, S, Dm = x.shape
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    h = rms_norm(x, p["ln1"], cfg.rms_norm_eps)
+    off = 1.0 if cfg.norm_offset else 0.0   # gemma: scale = 1 + w
+    h = rms_norm(x, p["ln1"] + off if off else p["ln1"],
+                 cfg.rms_norm_eps)
     ai8 = cfg.act_int8
     q = _proj(h, p, "q_w", lora_scale, ai8).reshape(B, S, Hq, Dh)
     k = _proj(h, p, "k_w", lora_scale, ai8).reshape(B, S, Hkv,
@@ -317,10 +319,13 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
     attn = attn.reshape(B, S, Hq * Dh)
     x = x + _proj(attn, p, "o_w", lora_scale, ai8)
 
-    h = rms_norm(x, p["ln2"], cfg.rms_norm_eps)
+    h = rms_norm(x, p["ln2"] + off if off else p["ln2"],
+                 cfg.rms_norm_eps)
     gate = _proj(h, p, "gate_w", lora_scale, ai8)
     up = _proj(h, p, "up_w", lora_scale, ai8)
-    act = (jax.nn.silu(gate.astype(jnp.float32))
+    act_fn = jax.nn.silu if cfg.mlp_act == "silu" else \
+        functools.partial(jax.nn.gelu, approximate=True)
+    act = (act_fn(gate.astype(jnp.float32))
            * up.astype(jnp.float32)).astype(x.dtype)
     x = x + _proj(act, p, "down_w", lora_scale, ai8)
     return x, new_cache
@@ -400,7 +405,9 @@ def forward(
 
     if logits_positions is not None:
         x = jax.vmap(lambda row, i: row[i])(x, logits_positions)[:, None]
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    fn = params["final_norm"]
+    x = rms_norm(x, fn + 1.0 if cfg.norm_offset else fn,
+                 cfg.rms_norm_eps)
     if return_hidden:
         return x, new_cache
     return lm_head_logits(params, x), new_cache
@@ -426,11 +433,16 @@ def lm_head_logits(params: Params, x: jax.Array) -> jax.Array:
     return logits
 
 
-def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
-    """Token embedding lookup; sentinel/negative ids map to zeros."""
+def embed_tokens(params: Params, input_ids: jax.Array,
+                 cfg: Optional[Qwen2Config] = None) -> jax.Array:
+    """Token embedding lookup; sentinel/negative ids map to zeros.
+    Gemma-family configs (cfg.scale_embeddings) multiply by
+    sqrt(hidden_size)."""
     safe = jnp.maximum(input_ids, 0)
     emb = jnp.take(params["embed"], safe, axis=0)
     if emb.dtype == jnp.int8:
         scale = jnp.take(params["embed_scale"], safe, axis=0)
         emb = emb.astype(scale.dtype) * scale
+    if cfg is not None and cfg.scale_embeddings:
+        emb = emb * jnp.asarray(cfg.hidden_size ** 0.5, emb.dtype)
     return jnp.where((input_ids >= 0)[..., None], emb, 0)

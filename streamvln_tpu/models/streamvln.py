@@ -205,9 +205,9 @@ def stack_layouts(layouts) -> dict:
 
 def splice_embeds(params: Params, vision_flat: jax.Array,
                   token_ids: jax.Array, is_vision: jax.Array,
-                  vision_index: jax.Array) -> jax.Array:
+                  vision_index: jax.Array, llm_cfg=None) -> jax.Array:
     """Gather + select: [B, T] layout -> [B, T, llm_hidden]."""
-    text = qwen2.embed_tokens(params["llm"], token_ids)
+    text = qwen2.embed_tokens(params["llm"], token_ids, llm_cfg)
     vis = jnp.take_along_axis(
         vision_flat, vision_index[:, :, None], axis=1)
     return jnp.where(is_vision[:, :, None], vis.astype(text.dtype), text)
@@ -234,7 +234,7 @@ def forward_train(
                                 remat=remat)
     embeds = splice_embeds(
         params, vision_flat, layout["token_ids"], layout["is_vision"],
-        layout["vision_index"])
+        layout["vision_index"], cfg.llm)
     valid = layout["valid"]
     B, T = valid.shape
     positions = jnp.where(valid, jnp.cumsum(valid, axis=1) - 1, 0)

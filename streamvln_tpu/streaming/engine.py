@@ -110,7 +110,7 @@ def _prefill_decode(
 
     # 3. splice + prefill
     embeds = streamvln.splice_embeds(
-        params, pool, token_ids, is_vision, vision_index)
+        params, pool, token_ids, is_vision, vision_index, cfg.llm)
     embeds = embeds.astype(compute_dtype)
     offsets = cache.length
     positions = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
@@ -135,8 +135,8 @@ def _prefill_decode(
 
     def body(state):
         cache, cur, out, n, done = state
-        emb = qwen2.embed_tokens(params["llm"], cur[:, None]).astype(
-            compute_dtype)
+        emb = qwen2.embed_tokens(params["llm"], cur[:, None],
+                                 cfg.llm).astype(compute_dtype)
         pos = cache.length[:, None]
         logits, new_cache = qwen2.forward(
             params["llm"], cfg.llm, emb, pos, cache=cache,

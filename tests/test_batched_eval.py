@@ -38,3 +38,55 @@ def test_batched_eval_runs_all_episodes(tmp_path):
     # result.json has one line per episode
     lines = open(tmp_path / "result.json").read().splitlines()
     assert len(lines) == 5
+
+
+def _fake_env_for_worker():
+    return FakeNavEnv([], max_episode_steps=500, rgb_shape=(48, 64, 3))
+
+
+def test_remote_env_proxy_matches_local():
+    from streamvln_tpu.eval.env_workers import RemoteEnv
+    episodes = make_episodes(2, seed=3)
+    local = _fake_env_for_worker()
+    remote = RemoteEnv(_fake_env_for_worker)
+    try:
+        for env in (local, remote):
+            env.current_episode = episodes[0]
+        o_l, o_r = local.reset(), remote.reset()
+        np.testing.assert_array_equal(o_l["rgb"], o_r["rgb"])
+        o_l, o_r = local.step(1), remote.step(1)
+        np.testing.assert_array_equal(o_l["rgb"], o_r["rgb"])
+        assert local.episode_over == remote.episode_over
+        # async protocol
+        remote.step_async(2)
+        o_r = remote.step_wait()
+        o_l = local.step(2)
+        np.testing.assert_array_equal(o_l["rgb"], o_r["rgb"])
+        assert local.get_metrics().keys() == remote.get_metrics().keys()
+    finally:
+        remote.close()
+
+
+def test_batched_eval_with_multiprocess_env_workers(tmp_path):
+    from streamvln_tpu.eval.env_workers import remote_env_factory
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    engine = StreamingEngine(
+        params, cfg, n_envs=2, stop_ids=(tok.im_end_id,),
+        compute_dtype=jnp.float32, max_new_tokens=4,
+        cache_capacity=2048, buckets=(512, 768, 1024))
+    agent = VLNAgent(engine, tok)
+
+    episodes = make_episodes(3, seed=1)
+    ev = BatchedVLNEvaluator(
+        remote_env_factory(_fake_env_for_worker), agent,
+        str(tmp_path / "mp"), max_steps_per_episode=6)
+    try:
+        results = ev.run(episodes)
+    finally:
+        for env in ev.envs:
+            env.close()
+    assert len(results) == 3
+    ids = sorted(r["episode_id"] for r in results)
+    assert ids == sorted(e.episode_id for e in episodes)

@@ -1,0 +1,117 @@
+"""LLM family breadth: Llama/Mistral/Gemma logits parity vs
+transformers (reference wrapper surface:
+llava/model/language_model/llava_{llama,mistral,gemma}.py)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from streamvln_tpu.configs import Qwen2Config, llm_config
+from streamvln_tpu.models import convert_hf, qwen2
+
+
+def _parity(hf_model, cfg, ids):
+    torch = pytest.importorskip("torch")
+    state = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    params = convert_hf.convert_llm(state, cfg, dtype=jnp.float32)
+    with torch.no_grad():
+        want = hf_model(torch.from_numpy(ids)).logits.numpy()
+    x = qwen2.embed_tokens(params, jnp.asarray(ids), cfg)
+    pos = jnp.broadcast_to(jnp.arange(ids.shape[1]), ids.shape)
+    got, _ = qwen2.forward(params, cfg, x, pos, attn_impl="dense")
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3,
+                               rtol=2e-3)
+
+
+def test_llama_parity():
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+    hf_cfg = LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, rope_theta=10000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        attention_bias=False)
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    cfg = Qwen2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+        rope_theta=10000.0, rms_norm_eps=1e-5, qkv_bias=False)
+    ids = np.random.RandomState(0).randint(0, 128, (2, 9))
+    _parity(hf, cfg, ids)
+
+
+def test_mistral_parity():
+    torch = pytest.importorskip("torch")
+    from transformers import MistralConfig, MistralForCausalLM
+    hf_cfg = MistralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, rope_theta=10000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=128, sliding_window=None)
+    torch.manual_seed(1)
+    hf = MistralForCausalLM(hf_cfg).eval()
+    cfg = Qwen2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+        rope_theta=10000.0, rms_norm_eps=1e-5, qkv_bias=False)
+    ids = np.random.RandomState(1).randint(0, 128, (2, 7))
+    _parity(hf, cfg, ids)
+
+
+def test_gemma_parity():
+    torch = pytest.importorskip("torch")
+    from transformers import GemmaConfig, GemmaForCausalLM
+    hf_cfg = GemmaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, rope_theta=10000.0,
+        rms_norm_eps=1e-6, max_position_embeddings=128,
+        hidden_act="gelu_pytorch_tanh", hidden_activation=
+        "gelu_pytorch_tanh")
+    torch.manual_seed(2)
+    hf = GemmaForCausalLM(hf_cfg).eval()
+    cfg = Qwen2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+        rope_theta=10000.0, rms_norm_eps=1e-6, qkv_bias=False,
+        tie_word_embeddings=True, mlp_act="gelu_tanh",
+        norm_offset=True, scale_embeddings=True)
+    ids = np.random.RandomState(2).randint(0, 128, (2, 8))
+    _parity(hf, cfg, ids)
+
+
+def test_family_registry():
+    for name in ("qwen2-7b", "llama2-7b", "llama3-8b", "mistral-7b",
+                 "gemma-2b"):
+        cfg = llm_config(name)
+        assert isinstance(cfg, Qwen2Config)
+    assert llm_config("llama2-7b").qkv_bias is False
+    assert llm_config("gemma-2b").norm_offset is True
+    with pytest.raises(ValueError):
+        llm_config("gpt-j")
+
+
+def test_family_decode_with_cache():
+    # the streaming cache path works for a bias-free llama-style config
+    cfg = Qwen2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+        rope_theta=10000.0, qkv_bias=False)
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray([[3, 5, 7, 11]])
+    x = qwen2.embed_tokens(params, ids, cfg)
+    pos = jnp.arange(4)[None]
+    full, _ = qwen2.forward(params, cfg, x, pos, attn_impl="dense")
+
+    cache = qwen2.KVCache.create(cfg, 1, 64, jnp.float32)
+    inc = []
+    for i in range(4):
+        xi = qwen2.embed_tokens(params, ids[:, i:i + 1], cfg)
+        logits, cache = qwen2.forward(params, cfg, xi,
+                                      jnp.asarray([[i]]), cache=cache,
+                                      attn_impl="dense")
+        inc.append(np.asarray(logits[0, 0]))
+    np.testing.assert_allclose(np.stack(inc), np.asarray(full[0]),
+                               atol=1e-4, rtol=1e-4)
