@@ -71,6 +71,13 @@ class Qwen2Config:
     mlp_act: str = "silu"            # "silu" | "gelu_tanh"
     norm_offset: bool = False
     scale_embeddings: bool = False
+    # sparse MoE MLP (Mixtral / Qwen2-MoE wrapper families); 0 = dense
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: Optional[int] = None
+    norm_topk_prob: bool = True      # Mixtral yes; Qwen2-MoE no
+    # Qwen2-MoE only: always-on shared expert, sigmoid-gated
+    shared_expert_intermediate_size: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -162,11 +169,35 @@ def gemma_2b() -> Qwen2Config:
         norm_offset=True, scale_embeddings=True)
 
 
+def mixtral_8x7b() -> Qwen2Config:
+    """Mixtral-8x7B (llava_mixtral.py family): 8 experts, top-2."""
+    return Qwen2Config(
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=1e6, rms_norm_eps=1e-5,
+        max_position_embeddings=32768, qkv_bias=False,
+        num_experts=8, num_experts_per_tok=2, norm_topk_prob=True)
+
+
+def qwen2_moe_a2_7b() -> Qwen2Config:
+    """Qwen1.5-MoE-A2.7B-style (llava_qwen_moe.py family): 60 experts
+    top-4 plus a sigmoid-gated shared expert."""
+    return Qwen2Config(
+        vocab_size=151936, hidden_size=2048, intermediate_size=5632,
+        num_layers=24, num_heads=16, num_kv_heads=16, head_dim=128,
+        rope_theta=1e6, rms_norm_eps=1e-6,
+        max_position_embeddings=8192, qkv_bias=True,
+        num_experts=60, num_experts_per_tok=4, norm_topk_prob=False,
+        moe_intermediate_size=1408,
+        shared_expert_intermediate_size=5632)
+
+
 LLM_REGISTRY = {
     "qwen2-7b": qwen2_7b, "qwen2-1.5b": qwen2_1_5b,
     "qwen2-0.5b": qwen2_0_5b, "llama2-7b": llama2_7b,
     "llama3-8b": llama3_8b, "mistral-7b": mistral_7b,
-    "gemma-2b": gemma_2b,
+    "gemma-2b": gemma_2b, "mixtral-8x7b": mixtral_8x7b,
+    "qwen2-moe-a2.7b": qwen2_moe_a2_7b,
 }
 
 

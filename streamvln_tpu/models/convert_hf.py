@@ -39,7 +39,8 @@ def _stack(state: Dict[str, Array], fmt: str, n: int,
 
 
 def convert_qwen2(state: Dict[str, Array], cfg: Qwen2Config,
-                  prefix: str = "model.", dtype=jnp.bfloat16) -> dict:
+                  prefix: str = "model.", dtype=jnp.bfloat16,
+                  include_mlp: bool = True) -> dict:
     L = cfg.num_layers
     p = prefix
 
@@ -58,13 +59,17 @@ def convert_qwen2(state: Dict[str, Array], cfg: Qwen2Config,
                       transpose=True),
         "ln2": _stack(state,
                       p + "layers.{}.post_attention_layernorm.weight", L),
-        "gate_w": _stack(state, p + "layers.{}.mlp.gate_proj.weight", L,
-                         transpose=True),
-        "up_w": _stack(state, p + "layers.{}.mlp.up_proj.weight", L,
-                       transpose=True),
-        "down_w": _stack(state, p + "layers.{}.mlp.down_proj.weight", L,
-                         transpose=True),
     }
+    if include_mlp:
+        layers.update({
+            "gate_w": _stack(state, p + "layers.{}.mlp.gate_proj.weight",
+                             L, transpose=True),
+            "up_w": _stack(state, p + "layers.{}.mlp.up_proj.weight", L,
+                           transpose=True),
+            "down_w": _stack(state,
+                             p + "layers.{}.mlp.down_proj.weight", L,
+                             transpose=True),
+        })
     if cfg.qkv_bias:
         for n in ("q", "k", "v"):
             layers[f"{n}_b"] = _stack(
@@ -85,6 +90,66 @@ def convert_qwen2(state: Dict[str, Array], cfg: Qwen2Config,
 # serves the whole wrapper-family surface (reference:
 # llava/model/language_model/llava_{llama,mistral,gemma}.py).
 convert_llm = convert_qwen2
+
+
+def convert_moe_llm(state: Dict[str, Array], cfg: Qwen2Config,
+                    prefix: str = "model.",
+                    dtype=jnp.bfloat16) -> dict:
+    """Mixtral / Qwen2-MoE state dict -> stacked-expert params
+    (reference wrappers: llava_mixtral.py, llava_qwen_moe.py).
+
+    Mixtral names the block `block_sparse_moe` with experts w1/w3/w2;
+    Qwen2-MoE names it `mlp` with gate_proj/up_proj/down_proj plus a
+    shared expert — both are sniffed from the state dict."""
+    import numpy as np
+
+    params = convert_qwen2(state, cfg, prefix, dtype,
+                           include_mlp=False)
+
+    L, E = cfg.num_layers, cfg.num_experts
+    mixtral = any("block_sparse_moe" in k for k in state)
+    blk = "block_sparse_moe" if mixtral else "mlp"
+    names = ("w1", "w3", "w2") if mixtral else \
+        ("gate_proj", "up_proj", "down_proj")
+
+    def t(key):
+        a = state[key]
+        if hasattr(a, "numpy"):
+            a = a.numpy()
+        return np.asarray(a, np.float32).T
+
+    router, eg, eu, ed = [], [], [], []
+    for i in range(L):
+        lp = f"{prefix}layers.{i}.{blk}."
+        router.append(t(lp + "gate.weight"))
+        eg.append(np.stack([t(f"{lp}experts.{e}.{names[0]}.weight")
+                            for e in range(E)]))
+        eu.append(np.stack([t(f"{lp}experts.{e}.{names[1]}.weight")
+                            for e in range(E)]))
+        ed.append(np.stack([t(f"{lp}experts.{e}.{names[2]}.weight")
+                            for e in range(E)]))
+    layers = params["layers"]
+    layers["router_w"] = jnp.asarray(np.stack(router), dtype)
+    layers["e_gate"] = jnp.asarray(np.stack(eg), dtype)
+    layers["e_up"] = jnp.asarray(np.stack(eu), dtype)
+    layers["e_down"] = jnp.asarray(np.stack(ed), dtype)
+
+    if cfg.shared_expert_intermediate_size:
+        sg, su, sd, sr = [], [], [], []
+        for i in range(L):
+            lp = f"{prefix}layers.{i}.mlp."
+            sg.append(t(lp + "shared_expert.gate_proj.weight"))
+            su.append(t(lp + "shared_expert.up_proj.weight"))
+            sd.append(t(lp + "shared_expert.down_proj.weight"))
+            sr.append(t(lp + "shared_expert_gate.weight"))
+        layers["s_gate_w"] = jnp.asarray(np.stack(sg), dtype)
+        layers["s_up_w"] = jnp.asarray(np.stack(su), dtype)
+        layers["s_down_w"] = jnp.asarray(np.stack(sd), dtype)
+        layers["s_route_w"] = jnp.asarray(np.stack(sr), dtype)
+    return params
+
+
+
 
 
 def convert_siglip(state: Dict[str, Array], cfg: SigLIPConfig,

@@ -158,22 +158,43 @@ def init(rng: jax.Array, cfg: Qwen2Config,
         return (jax.random.normal(key, shape, jnp.float32)
                 * (fan_in ** -0.5)).astype(dtype)
 
-    params = {
-        "embed": dense(keys[0], (V, Dm), Dm),
-        "layers": {
-            "ln1": jnp.ones((L, Dm), dtype),
-            "q_w": dense(keys[1], (L, Dm, Hq * Dh), Dm),
-            "q_b": jnp.zeros((L, Hq * Dh), dtype),
-            "k_w": dense(keys[2], (L, Dm, Hkv * Dh), Dm),
-            "k_b": jnp.zeros((L, Hkv * Dh), dtype),
-            "v_w": dense(keys[3], (L, Dm, Hkv * Dh), Dm),
-            "v_b": jnp.zeros((L, Hkv * Dh), dtype),
-            "o_w": dense(keys[4], (L, Hq * Dh, Dm), Hq * Dh),
-            "ln2": jnp.ones((L, Dm), dtype),
+    layers = {
+        "ln1": jnp.ones((L, Dm), dtype),
+        "q_w": dense(keys[1], (L, Dm, Hq * Dh), Dm),
+        "q_b": jnp.zeros((L, Hq * Dh), dtype),
+        "k_w": dense(keys[2], (L, Dm, Hkv * Dh), Dm),
+        "k_b": jnp.zeros((L, Hkv * Dh), dtype),
+        "v_w": dense(keys[3], (L, Dm, Hkv * Dh), Dm),
+        "v_b": jnp.zeros((L, Hkv * Dh), dtype),
+        "o_w": dense(keys[4], (L, Hq * Dh, Dm), Hq * Dh),
+        "ln2": jnp.ones((L, Dm), dtype),
+    }
+    if cfg.num_experts:
+        E = cfg.num_experts
+        Fe = cfg.moe_intermediate_size or F
+        layers.update({
+            "router_w": dense(keys[5], (L, Dm, E), Dm),
+            "e_gate": dense(keys[6], (L, E, Dm, Fe), Dm),
+            "e_up": dense(keys[7], (L, E, Dm, Fe), Dm),
+            "e_down": dense(keys[9], (L, E, Fe, Dm), Fe),
+        })
+        if cfg.shared_expert_intermediate_size:
+            Fs = cfg.shared_expert_intermediate_size
+            layers.update({
+                "s_gate_w": dense(keys[10], (L, Dm, Fs), Dm),
+                "s_up_w": dense(keys[11], (L, Dm, Fs), Dm),
+                "s_down_w": dense(keys[12], (L, Fs, Dm), Fs),
+                "s_route_w": dense(keys[13], (L, Dm, 1), Dm),
+            })
+    else:
+        layers.update({
             "gate_w": dense(keys[5], (L, Dm, F), Dm),
             "up_w": dense(keys[6], (L, Dm, F), Dm),
             "down_w": dense(keys[7], (L, F, Dm), F),
-        },
+        })
+    params = {
+        "embed": dense(keys[0], (V, Dm), Dm),
+        "layers": layers,
         "final_norm": jnp.ones((Dm,), dtype),
     }
     if not cfg.tie_word_embeddings:
@@ -263,6 +284,57 @@ def _proj(x, p, name, lora_scale=None, act_int8=False):
     return out.astype(x.dtype)
 
 
+def _moe_mlp(cfg: Qwen2Config, h: jax.Array, p) -> jax.Array:
+    """Sparse-MoE MLP (Mixtral block_sparse_moe / Qwen2-MoE mlp).
+
+    Router: softmax over experts in fp32, top-k, optionally
+    renormalized over the selected k (Mixtral yes, Qwen2-MoE no).
+    Compute is the dense one-hot formulation — every expert runs on
+    every token and a [N, E] combine matrix selects — which is the
+    shardable TPU-first layout (expert axis maps onto the mesh like
+    any other stacked dim) at the cost of E/k extra MLP FLOPs; a
+    capacity-based ragged dispatch is the known optimization when an
+    MoE model becomes a serving flagship. Qwen2-MoE adds an always-on
+    shared expert gated by a per-token sigmoid.
+    """
+    B, S, D = h.shape
+    E, K = cfg.num_experts, cfg.num_experts_per_tok
+    hf = h.reshape(B * S, D)
+    router = jnp.dot(hf, p["router_w"],
+                     preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(router, axis=-1)            # [N, E] f32
+    topv, topi = jax.lax.top_k(probs, K)
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    combine = jnp.sum(
+        jax.nn.one_hot(topi, E, dtype=jnp.float32)
+        * topv[..., None], axis=1)                     # [N, E]
+
+    act_fn = jax.nn.silu if cfg.mlp_act == "silu" else \
+        functools.partial(jax.nn.gelu, approximate=True)
+    gate = jnp.einsum("nd,edf->nef", hf, p["e_gate"],
+                      preferred_element_type=jnp.float32)
+    up = jnp.einsum("nd,edf->nef", hf, p["e_up"],
+                    preferred_element_type=jnp.float32)
+    act = (act_fn(gate) * up).astype(h.dtype)
+    outs = jnp.einsum("nef,efd->ned", act, p["e_down"],
+                      preferred_element_type=jnp.float32)
+    out = jnp.einsum("ne,ned->nd", combine, outs)
+
+    if "s_gate_w" in p:
+        sg = jnp.dot(hf, p["s_gate_w"],
+                     preferred_element_type=jnp.float32)
+        su = jnp.dot(hf, p["s_up_w"],
+                     preferred_element_type=jnp.float32)
+        shared = jnp.dot((act_fn(sg) * su).astype(h.dtype),
+                         p["s_down_w"],
+                         preferred_element_type=jnp.float32)
+        srg = jax.nn.sigmoid(jnp.dot(
+            hf, p["s_route_w"], preferred_element_type=jnp.float32))
+        out = out + srg * shared
+    return out.reshape(B, S, D).astype(h.dtype)
+
+
 def _layer_step(cfg: Qwen2Config, attn_impl: str,
                 carry, layer_params,
                 positions, k_pos, cache_kv=None, cache_offsets=None,
@@ -321,13 +393,16 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
 
     h = rms_norm(x, p["ln2"] + off if off else p["ln2"],
                  cfg.rms_norm_eps)
-    gate = _proj(h, p, "gate_w", lora_scale, ai8)
-    up = _proj(h, p, "up_w", lora_scale, ai8)
-    act_fn = jax.nn.silu if cfg.mlp_act == "silu" else \
-        functools.partial(jax.nn.gelu, approximate=True)
-    act = (act_fn(gate.astype(jnp.float32))
-           * up.astype(jnp.float32)).astype(x.dtype)
-    x = x + _proj(act, p, "down_w", lora_scale, ai8)
+    if cfg.num_experts:
+        x = x + _moe_mlp(cfg, h, p)
+    else:
+        gate = _proj(h, p, "gate_w", lora_scale, ai8)
+        up = _proj(h, p, "up_w", lora_scale, ai8)
+        act_fn = jax.nn.silu if cfg.mlp_act == "silu" else \
+            functools.partial(jax.nn.gelu, approximate=True)
+        act = (act_fn(gate.astype(jnp.float32))
+               * up.astype(jnp.float32)).astype(x.dtype)
+        x = x + _proj(act, p, "down_w", lora_scale, ai8)
     return x, new_cache
 
 

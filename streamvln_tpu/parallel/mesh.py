@@ -46,6 +46,14 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     (r"llm/layers/(q_w|k_w|v_w|gate_w|up_w)$", P(None, "fsdp", "tp")),
     (r"llm/layers/(o_w|down_w)$", P(None, "tp", "fsdp")),
     (r"llm/layers/(q_b|k_b|v_b)$", P(None, "tp")),
+    # MoE: experts ride the tp axis (expert parallelism — each chip
+    # group holds E/tp experts), matmul dims ride fsdp
+    (r"llm/layers/(e_gate|e_up)$", P(None, "tp", "fsdp", None)),
+    (r"llm/layers/e_down$", P(None, "tp", None, "fsdp")),
+    (r"llm/layers/router_w$", P(None, "fsdp", None)),
+    (r"llm/layers/(s_gate_w|s_up_w)$", P(None, "fsdp", "tp")),
+    (r"llm/layers/s_down_w$", P(None, "tp", "fsdp")),
+    (r"llm/layers/s_route_w$", P(None, "fsdp", None)),
     (r"llm/layers/", P(None, None)),          # norms
     (r"llm/embed$", P("fsdp", "tp")),
     (r"llm/lm_head$", P("fsdp", "tp")),

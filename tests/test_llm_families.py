@@ -115,3 +115,89 @@ def test_family_decode_with_cache():
         inc.append(np.asarray(logits[0, 0]))
     np.testing.assert_allclose(np.stack(inc), np.asarray(full[0]),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_mixtral_parity():
+    torch = pytest.importorskip("torch")
+    from transformers import MixtralConfig, MixtralForCausalLM
+    hf_cfg = MixtralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, rope_theta=10000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=128, num_local_experts=4,
+        num_experts_per_tok=2, sliding_window=None)
+    torch.manual_seed(3)
+    hf = MixtralForCausalLM(hf_cfg).eval()
+    cfg = Qwen2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+        rope_theta=10000.0, rms_norm_eps=1e-5, qkv_bias=False,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True)
+    ids = np.random.RandomState(3).randint(0, 128, (2, 6))
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = convert_hf.convert_moe_llm(state, cfg, dtype=jnp.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    x = qwen2.embed_tokens(params, jnp.asarray(ids), cfg)
+    pos = jnp.broadcast_to(jnp.arange(ids.shape[1]), ids.shape)
+    got, _ = qwen2.forward(params, cfg, x, pos, attn_impl="dense")
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3,
+                               rtol=2e-3)
+
+
+def test_qwen2_moe_parity():
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+    hf_cfg = Qwen2MoeConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, rope_theta=10000.0, rms_norm_eps=1e-6,
+        max_position_embeddings=128, num_experts=4,
+        num_experts_per_tok=2, moe_intermediate_size=48,
+        shared_expert_intermediate_size=64, norm_topk_prob=False,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        sliding_window=None, use_sliding_window=False)
+    torch.manual_seed(4)
+    hf = Qwen2MoeForCausalLM(hf_cfg).eval()
+    cfg = Qwen2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+        rope_theta=10000.0, rms_norm_eps=1e-6, qkv_bias=True,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        moe_intermediate_size=48,
+        shared_expert_intermediate_size=64)
+    ids = np.random.RandomState(4).randint(0, 128, (2, 6))
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = convert_hf.convert_moe_llm(state, cfg, dtype=jnp.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    x = qwen2.embed_tokens(params, jnp.asarray(ids), cfg)
+    pos = jnp.broadcast_to(jnp.arange(ids.shape[1]), ids.shape)
+    got, _ = qwen2.forward(params, cfg, x, pos, attn_impl="dense")
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3,
+                               rtol=2e-3)
+
+
+def test_moe_decode_with_cache():
+    cfg = Qwen2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+        rope_theta=10000.0, qkv_bias=False, num_experts=4,
+        num_experts_per_tok=2)
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    assert "e_gate" in params["layers"]
+    assert "gate_w" not in params["layers"]
+    ids = jnp.asarray([[3, 5, 7, 11]])
+    x = qwen2.embed_tokens(params, ids, cfg)
+    pos = jnp.arange(4)[None]
+    full, _ = qwen2.forward(params, cfg, x, pos, attn_impl="dense")
+    cache = qwen2.KVCache.create(cfg, 1, 64, jnp.float32)
+    inc = []
+    for i in range(4):
+        xi = qwen2.embed_tokens(params, ids[:, i:i + 1], cfg)
+        logits, cache = qwen2.forward(params, cfg, xi,
+                                      jnp.asarray([[i]]), cache=cache,
+                                      attn_impl="dense")
+        inc.append(np.asarray(logits[0, 0]))
+    np.testing.assert_allclose(np.stack(inc), np.asarray(full[0]),
+                               atol=1e-4, rtol=1e-4)

@@ -142,3 +142,32 @@ def test_chunked_loss_matches_full():
                     jax.tree_util.tree_leaves(gc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_moe_train_step_on_mesh():
+    """Expert-parallel sharding: MoE LLM params shard over the tp axis
+    (experts) + fsdp (matmul dims) and a train step runs."""
+    import dataclasses
+    cfg = tiny_streamvln()
+    moe_llm = dataclasses.replace(
+        cfg.llm, num_experts=4, num_experts_per_tok=2,
+        shared_expert_intermediate_size=64)
+    cfg = dataclasses.replace(cfg, llm=moe_llm)
+    tcfg = train_lib.TrainConfig(learning_rate=1e-3, total_steps=10,
+                                 remat=True)
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    assert "e_gate" in params["llm"]["layers"]
+    mesh = mesh_lib.make_mesh(dp=1, fsdp=4, tp=2)
+    params = mesh_lib.shard_params(params, mesh)
+    # experts sharded over tp: 4 experts / tp2 = 2 per group
+    spec = mesh_lib.param_specs(params, mesh)["llm"]["layers"]["e_gate"]
+    assert spec[1] == "tp"
+    state = train_lib.create_train_state(params, tcfg)
+    step = train_lib.make_train_step(cfg, tcfg, mesh)
+    batch = _make_batch(cfg, B=4)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
