@@ -147,3 +147,31 @@ def make_ring_attention(mesh: Mesh, axis_name: str = "fsdp",
         return out[:, inv]
 
     return zz
+
+
+def ring_attention_dryrun(mesh: Mesh) -> bool:
+    """One zigzag ring-attention step over the mesh's fsdp axis,
+    checked against dense attention (used by
+    __graft_entry__.dryrun_multichip to validate the sequence-parallel
+    path on the driver's virtual mesh). Returns False when the mesh
+    has no fsdp extent to shard over."""
+    import numpy as np
+
+    from streamvln_tpu.ops.attention import dense_attention
+
+    n = mesh.shape.get("fsdp", 1)
+    if n < 2:
+        return False
+    rng = np.random.RandomState(0)
+    B, S, H, D = 1, 8 * n, 2, 8
+    q = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    out = make_ring_attention(mesh, "fsdp", zigzag=True)(q, k, v, pos,
+                                                         pos)
+    mask = pos[:, None, :] <= pos[:, :, None]
+    ref = dense_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    return True
