@@ -67,10 +67,14 @@ class Qwen2Config:
     # shapes (prefill) — decode at bs=1 stays bandwidth-bound.
     act_int8: bool = False
     # family knobs (Llama/Mistral: defaults; Gemma: gelu MLP,
-    # (1 + w) RMSNorm parameterization, sqrt(hidden) embed scaling)
-    mlp_act: str = "silu"            # "silu" | "gelu_tanh"
+    # (1 + w) RMSNorm parameterization, sqrt(hidden) embed scaling;
+    # MPT: alibi positions, weight-only LayerNorm, ungated gelu MLP)
+    mlp_act: str = "silu"            # "silu" | "gelu_tanh" | "gelu"
     norm_offset: bool = False
     scale_embeddings: bool = False
+    positional: str = "rope"         # "rope" | "alibi"
+    norm_type: str = "rmsnorm"       # "rmsnorm" | "layernorm"
+    mlp_gated: bool = True           # False: up -> act -> down (MPT)
     # sparse MoE MLP (Mixtral / Qwen2-MoE wrapper families); 0 = dense
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -169,6 +173,17 @@ def gemma_2b() -> Qwen2Config:
         norm_offset=True, scale_embeddings=True)
 
 
+def mpt_7b() -> Qwen2Config:
+    """MPT-7B (llava_mpt.py family): alibi attention, weight-only
+    LayerNorm, ungated gelu MLP, tied head."""
+    return Qwen2Config(
+        vocab_size=50432, hidden_size=4096, intermediate_size=16384,
+        num_layers=32, num_heads=32, num_kv_heads=32, head_dim=128,
+        rms_norm_eps=1e-5, max_position_embeddings=2048,
+        qkv_bias=False, tie_word_embeddings=True, mlp_act="gelu",
+        positional="alibi", norm_type="layernorm", mlp_gated=False)
+
+
 def mixtral_8x7b() -> Qwen2Config:
     """Mixtral-8x7B (llava_mixtral.py family): 8 experts, top-2."""
     return Qwen2Config(
@@ -197,7 +212,7 @@ LLM_REGISTRY = {
     "qwen2-0.5b": qwen2_0_5b, "llama2-7b": llama2_7b,
     "llama3-8b": llama3_8b, "mistral-7b": mistral_7b,
     "gemma-2b": gemma_2b, "mixtral-8x7b": mixtral_8x7b,
-    "qwen2-moe-a2.7b": qwen2_moe_a2_7b,
+    "qwen2-moe-a2.7b": qwen2_moe_a2_7b, "mpt-7b": mpt_7b,
 }
 
 

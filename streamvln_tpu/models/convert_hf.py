@@ -152,6 +152,52 @@ def convert_moe_llm(state: Dict[str, Array], cfg: Qwen2Config,
 
 
 
+def convert_mpt(state: Dict[str, Array], cfg: Qwen2Config,
+                prefix: str = "transformer.",
+                dtype=jnp.bfloat16) -> dict:
+    """MptForCausalLM state dict -> params (reference wrapper:
+    llava_mpt.py). Fused Wqkv [3D, D] splits into q/k/v; norms are
+    weight-only LayerNorm; MLP is ungated up/act/down; head is tied
+    to wte."""
+    L, D = cfg.num_layers, cfg.hidden_size
+    p = prefix
+
+    def t(key):
+        a = state[key]
+        if hasattr(a, "numpy"):
+            a = a.numpy()
+        return np.asarray(a, np.float32)
+
+    qw, kw, vw = [], [], []
+    ow, up, down, ln1, ln2 = [], [], [], [], []
+    for i in range(L):
+        lp = f"{p}blocks.{i}."
+        wqkv = t(lp + "attn.Wqkv.weight")          # [3D, D]
+        qw.append(wqkv[:D].T)
+        kw.append(wqkv[D:2 * D].T)
+        vw.append(wqkv[2 * D:].T)
+        ow.append(t(lp + "attn.out_proj.weight").T)
+        up.append(t(lp + "ffn.up_proj.weight").T)
+        down.append(t(lp + "ffn.down_proj.weight").T)
+        ln1.append(t(lp + "norm_1.weight"))
+        ln2.append(t(lp + "norm_2.weight"))
+
+    layers = {
+        "ln1": np.stack(ln1), "ln2": np.stack(ln2),
+        "q_w": np.stack(qw), "k_w": np.stack(kw),
+        "v_w": np.stack(vw), "o_w": np.stack(ow),
+        "up_w": np.stack(up), "down_w": np.stack(down),
+    }
+    params = {
+        "embed": t(p + "wte.weight"),
+        "layers": layers,
+        "final_norm": t(p + "norm_f.weight"),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = t("lm_head.weight").T
+    return _to_device(params, dtype)
+
+
 def convert_siglip(state: Dict[str, Array], cfg: SigLIPConfig,
                    prefix: str = "vision_model.",
                    dtype=jnp.bfloat16) -> dict:

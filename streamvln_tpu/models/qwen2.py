@@ -43,6 +43,38 @@ def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
     return (normed * scale.astype(jnp.float32)).astype(dtype)
 
 
+def layer_norm_scale_only(x: jax.Array, scale: jax.Array,
+                          eps: float) -> jax.Array:
+    """Weight-only LayerNorm (MPT norm_1/norm_2/norm_f keep no bias)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (normed * scale.astype(jnp.float32)).astype(dtype)
+
+
+def _norm(x: jax.Array, scale: jax.Array, cfg: Qwen2Config) -> jax.Array:
+    if cfg.norm_type == "layernorm":
+        return layer_norm_scale_only(x, scale, cfg.rms_norm_eps)
+    return rms_norm(x, scale, cfg.rms_norm_eps)
+
+
+def alibi_slopes(num_heads: int, bias_max: float = 8.0):
+    """Per-head alibi slopes (MPT variant: next-pow-2 bank then
+    interleave — transformers build_mpt_alibi_tensor)."""
+    import math
+
+    import numpy as np
+    n2 = 2 ** math.ceil(math.log2(num_heads))
+    base = np.arange(1, n2 + 1, dtype=np.float64) * (bias_max / n2)
+    slopes = 1.0 / np.power(2.0, base)
+    if n2 != num_heads:
+        slopes = np.concatenate([slopes[1::2],
+                                 slopes[::2]])[:num_heads]
+    return jnp.asarray(slopes, jnp.float32)
+
+
 def rope_frequencies(head_dim: int, theta: float) -> jax.Array:
     """Inverse frequencies, [head_dim // 2]."""
     exponents = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
@@ -188,10 +220,11 @@ def init(rng: jax.Array, cfg: Qwen2Config,
             })
     else:
         layers.update({
-            "gate_w": dense(keys[5], (L, Dm, F), Dm),
             "up_w": dense(keys[6], (L, Dm, F), Dm),
             "down_w": dense(keys[7], (L, F, Dm), F),
         })
+        if cfg.mlp_gated:
+            layers["gate_w"] = dense(keys[5], (L, Dm, F), Dm)
     params = {
         "embed": dense(keys[0], (V, Dm), Dm),
         "layers": layers,
@@ -207,7 +240,7 @@ def init(rng: jax.Array, cfg: Qwen2Config,
 # ---------------------------------------------------------------------------
 
 def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos,
-            kv_major: bool = False):
+            kv_major: bool = False, bias=None):
     """Attention with visibility rule `k_pos <= q_pos` (invalid keys carry
     a huge k_pos). Dispatch:
     - S==1 on a KV-major cache + TPU: Pallas ring-buffer decode kernel
@@ -215,7 +248,7 @@ def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos,
     - S>=64 prefill/training + TPU, 128-aligned head dim: Pallas flash
     - otherwise dense XLA with the equivalent mask."""
     on_tpu = jax.default_backend() == "tpu"
-    kernels_ok = attn_impl in ("flash", "auto") and \
+    kernels_ok = bias is None and attn_impl in ("flash", "auto") and \
         cfg.head_dim % 128 == 0 and (attn_impl == "flash" or on_tpu)
 
     if kv_major:
@@ -223,7 +256,8 @@ def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos,
         # cost is amortized (very long caches / many KV heads); measured
         # on v5e-1 @ 7B it LOSES ~9 ms/token to XLA's fused dense path,
         # so it is opt-in (attn_impl="decode_kernel")
-        if attn_impl == "decode_kernel" and q.shape[1] == 1 \
+        if attn_impl == "decode_kernel" and bias is None \
+                and q.shape[1] == 1 \
                 and cfg.head_dim % 128 == 0 and k.shape[2] % 512 == 0:
             from streamvln_tpu.ops import decode_attention as da
             # visible keys for a single query at pos p: indices 0..p
@@ -235,7 +269,8 @@ def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos,
                 logits_soft_cap=cfg.attn_logits_soft_cap)
         mask = k_pos[:, None, :] <= q_pos[:, :, None]
         return dense_attention_kvmajor(
-            q, k, v, mask, logits_soft_cap=cfg.attn_logits_soft_cap)
+            q, k, v, mask, logits_soft_cap=cfg.attn_logits_soft_cap,
+            bias=bias)
 
     if kernels_ok and q.shape[1] >= 64:
         from streamvln_tpu.ops import flash_attention as fa
@@ -244,7 +279,8 @@ def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos,
             logits_soft_cap=cfg.attn_logits_soft_cap)
     mask = k_pos[:, None, :] <= q_pos[:, :, None]
     return dense_attention(q, k, v, mask,
-                           logits_soft_cap=cfg.attn_logits_soft_cap)
+                           logits_soft_cap=cfg.attn_logits_soft_cap,
+                           bias=bias)
 
 
 def _proj(x, p, name, lora_scale=None, act_int8=False):
@@ -284,6 +320,16 @@ def _proj(x, p, name, lora_scale=None, act_int8=False):
     return out.astype(x.dtype)
 
 
+def _mlp_act_fn(name: str):
+    if name == "silu":
+        return jax.nn.silu
+    if name == "gelu_tanh":
+        return functools.partial(jax.nn.gelu, approximate=True)
+    if name == "gelu":
+        return functools.partial(jax.nn.gelu, approximate=False)
+    raise ValueError(f"unknown mlp_act: {name}")
+
+
 def _moe_mlp(cfg: Qwen2Config, h: jax.Array, p) -> jax.Array:
     """Sparse-MoE MLP (Mixtral block_sparse_moe / Qwen2-MoE mlp).
 
@@ -310,8 +356,7 @@ def _moe_mlp(cfg: Qwen2Config, h: jax.Array, p) -> jax.Array:
         jax.nn.one_hot(topi, E, dtype=jnp.float32)
         * topv[..., None], axis=1)                     # [N, E]
 
-    act_fn = jax.nn.silu if cfg.mlp_act == "silu" else \
-        functools.partial(jax.nn.gelu, approximate=True)
+    act_fn = _mlp_act_fn(cfg.mlp_act)
     gate = jnp.einsum("nd,edf->nef", hf, p["e_gate"],
                       preferred_element_type=jnp.float32)
     up = jnp.einsum("nd,edf->nef", hf, p["e_up"],
@@ -350,8 +395,7 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     off = 1.0 if cfg.norm_offset else 0.0   # gemma: scale = 1 + w
-    h = rms_norm(x, p["ln1"] + off if off else p["ln1"],
-                 cfg.rms_norm_eps)
+    h = _norm(x, p["ln1"] + off if off else p["ln1"], cfg)
     ai8 = cfg.act_int8
     q = _proj(h, p, "q_w", lora_scale, ai8).reshape(B, S, Hq, Dh)
     k = _proj(h, p, "k_w", lora_scale, ai8).reshape(B, S, Hkv,
@@ -359,8 +403,19 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
     v = _proj(h, p, "v_w", lora_scale, ai8).reshape(B, S, Hkv,
                                                     Dh)
 
-    q = apply_rope(q, positions, cfg.rope_theta)
-    k = apply_rope(k, positions, cfg.rope_theta)
+    attn_bias = None
+    if cfg.positional == "rope":
+        q = apply_rope(q, positions, cfg.rope_theta)
+        k = apply_rope(k, positions, cfg.rope_theta)
+    elif cfg.positional == "alibi":
+        # additive per-head bias -slope * (q_pos - k_pos); invisible
+        # keys (k_pos > q_pos or sentinel) are removed by the mask, so
+        # the formula is exact for both in-sequence and cache-slot
+        # k_pos (slot index == global position)
+        slopes = alibi_slopes(cfg.num_heads)
+        dist = positions[:, None, :, None].astype(jnp.float32) - \
+            k_pos[:, None, None, :].astype(jnp.float32)
+        attn_bias = -slopes[None, :, None, None] * dist
 
     if cache_kv is not None:
         if len(cache_kv) == 3:
@@ -383,25 +438,27 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
             cv = _append_rows(cv, v, cache_offsets)
             new_cache = (ck, cv)
         attn = _attend(cfg, attn_impl, q, ck, cv, positions, k_pos,
-                       kv_major=True)
+                       kv_major=True, bias=attn_bias)
     else:
-        attn = _attend(cfg, attn_impl, q, k, v, positions, k_pos)
+        attn = _attend(cfg, attn_impl, q, k, v, positions, k_pos,
+                       bias=attn_bias)
         new_cache = None
 
     attn = attn.reshape(B, S, Hq * Dh)
     x = x + _proj(attn, p, "o_w", lora_scale, ai8)
 
-    h = rms_norm(x, p["ln2"] + off if off else p["ln2"],
-                 cfg.rms_norm_eps)
+    h = _norm(x, p["ln2"] + off if off else p["ln2"], cfg)
     if cfg.num_experts:
         x = x + _moe_mlp(cfg, h, p)
     else:
-        gate = _proj(h, p, "gate_w", lora_scale, ai8)
+        act_fn = _mlp_act_fn(cfg.mlp_act)
         up = _proj(h, p, "up_w", lora_scale, ai8)
-        act_fn = jax.nn.silu if cfg.mlp_act == "silu" else \
-            functools.partial(jax.nn.gelu, approximate=True)
-        act = (act_fn(gate.astype(jnp.float32))
-               * up.astype(jnp.float32)).astype(x.dtype)
+        if cfg.mlp_gated:
+            gate = _proj(h, p, "gate_w", lora_scale, ai8)
+            act = (act_fn(gate.astype(jnp.float32))
+                   * up.astype(jnp.float32)).astype(x.dtype)
+        else:
+            act = act_fn(up.astype(jnp.float32)).astype(x.dtype)
         x = x + _proj(act, p, "down_w", lora_scale, ai8)
     return x, new_cache
 
@@ -481,8 +538,7 @@ def forward(
     if logits_positions is not None:
         x = jax.vmap(lambda row, i: row[i])(x, logits_positions)[:, None]
     fn = params["final_norm"]
-    x = rms_norm(x, fn + 1.0 if cfg.norm_offset else fn,
-                 cfg.rms_norm_eps)
+    x = _norm(x, fn + 1.0 if cfg.norm_offset else fn, cfg)
     if return_hidden:
         return x, new_cache
     return lm_head_logits(params, x), new_cache

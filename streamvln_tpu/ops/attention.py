@@ -26,6 +26,7 @@ def dense_attention(
     mask: Optional[jax.Array] = None,   # [B, Sq, Sk] or [B, 1, Sq, Sk] bool
     scale: Optional[float] = None,
     logits_soft_cap: Optional[float] = None,
+    bias: Optional[jax.Array] = None,   # [B, Hq, Sq, Sk] additive (alibi)
 ) -> jax.Array:
     """Reference attention. Computes softmax(q k^T * scale) v with GQA.
 
@@ -44,6 +45,9 @@ def dense_attention(
 
     # [B, Hkv, G, Sq, Sk]
     logits = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kf) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32).reshape(
+            bias.shape[0], Hkv, G, *bias.shape[2:])
     if logits_soft_cap is not None:
         logits = jnp.tanh(logits / logits_soft_cap) * logits_soft_cap
     if mask is not None:
@@ -64,6 +68,7 @@ def dense_attention_kvmajor(
     mask: Optional[jax.Array] = None,   # [B, Sq, Sk] bool
     scale: Optional[float] = None,
     logits_soft_cap: Optional[float] = None,
+    bias: Optional[jax.Array] = None,   # [B, Hq, Sq, Sk] additive (alibi)
 ) -> jax.Array:
     """dense_attention over KV-head-major cache buffers (no transpose).
 
@@ -80,6 +85,9 @@ def dense_attention_kvmajor(
     qf = q.astype(k.dtype).reshape(B, Sq, Hkv, G, D)
     logits = jnp.einsum("bqhgd,bhkd->bhgqk", qf, k,
                         preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32).reshape(
+            bias.shape[0], Hkv, G, *bias.shape[2:])
     if logits_soft_cap is not None:
         logits = jnp.tanh(logits / logits_soft_cap) * logits_soft_cap
     if mask is not None:

@@ -201,3 +201,53 @@ def test_moe_decode_with_cache():
         inc.append(np.asarray(logits[0, 0]))
     np.testing.assert_allclose(np.stack(inc), np.asarray(full[0]),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_mpt_parity():
+    torch = pytest.importorskip("torch")
+    from transformers import MptConfig, MptForCausalLM
+    hf_cfg = MptConfig(
+        d_model=32, n_heads=4, n_layers=2, vocab_size=128,
+        max_seq_len=128, layer_norm_epsilon=1e-5)
+    torch.manual_seed(5)
+    hf = MptForCausalLM(hf_cfg).eval()
+    cfg = Qwen2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=8,
+        rms_norm_eps=1e-5, qkv_bias=False, tie_word_embeddings=True,
+        mlp_act="gelu", positional="alibi", norm_type="layernorm",
+        mlp_gated=False)
+    ids = np.random.RandomState(5).randint(0, 128, (2, 10))
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = convert_hf.convert_mpt(state, cfg, dtype=jnp.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    x = qwen2.embed_tokens(params, jnp.asarray(ids), cfg)
+    pos = jnp.broadcast_to(jnp.arange(ids.shape[1]), ids.shape)
+    got, _ = qwen2.forward(params, cfg, x, pos, attn_impl="dense")
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3,
+                               rtol=2e-3)
+
+
+def test_mpt_decode_with_cache():
+    cfg = Qwen2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=8,
+        qkv_bias=False, tie_word_embeddings=True, mlp_act="gelu",
+        positional="alibi", norm_type="layernorm", mlp_gated=False)
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    assert "gate_w" not in params["layers"]
+    ids = jnp.asarray([[3, 5, 7, 11]])
+    x = qwen2.embed_tokens(params, ids, cfg)
+    pos = jnp.arange(4)[None]
+    full, _ = qwen2.forward(params, cfg, x, pos, attn_impl="dense")
+    cache = qwen2.KVCache.create(cfg, 1, 64, jnp.float32)
+    inc = []
+    for i in range(4):
+        xi = qwen2.embed_tokens(params, ids[:, i:i + 1], cfg)
+        logits, cache = qwen2.forward(params, cfg, xi,
+                                      jnp.asarray([[i]]), cache=cache,
+                                      attn_impl="dense")
+        inc.append(np.asarray(logits[0, 0]))
+    np.testing.assert_allclose(np.stack(inc), np.asarray(full[0]),
+                               atol=1e-4, rtol=1e-4)
