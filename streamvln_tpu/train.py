@@ -88,9 +88,15 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def build_config(args) -> configs.StreamVLNConfig:
-    llm = {"7b": configs.qwen2_7b, "1.5b": configs.qwen2_1_5b,
-           "0.5b": configs.qwen2_0_5b,
-           "tiny": configs.tiny_llm}[args.model_size]()
+    short = {"7b": configs.qwen2_7b, "1.5b": configs.qwen2_1_5b,
+             "0.5b": configs.qwen2_0_5b, "tiny": configs.tiny_llm}
+    if args.model_size in short:
+        llm = short[args.model_size]()
+    else:
+        # any LLM family from the registry (llama/mistral/gemma/
+        # mixtral/mpt/... — reference model-builder dispatch,
+        # llava/model/builder.py:27-305)
+        llm = configs.llm_config(args.model_size)
     vision = (configs.tiny_vision() if args.model_size == "tiny"
               else configs.siglip_so400m())
     return configs.StreamVLNConfig(
