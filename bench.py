@@ -25,6 +25,17 @@ TARGET_HZ = 5.0
 
 def main():
     import jax
+    # persistent compilation cache: the 7B prefill buckets compile via
+    # a slow remote AOT helper on this harness (minutes on first use);
+    # cached compiles land in ~seconds on subsequent runs
+    try:
+        cache_dir = os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from streamvln_tpu import configs
     from streamvln_tpu.data import chatml
