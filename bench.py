@@ -118,7 +118,8 @@ def main():
             feat_slots=40,
             max_new_tokens=max_new, stop_ids=(tok.im_end_id,),
             compute_dtype=dtype,
-            buckets=(256, 512, 768, 1024, 2304, 2560, 3072))
+            buckets=(256, 512, 768, 1024, 2304, 2560, 3072),
+            fused_preprocess=os.environ.get("BENCH_FUSED_PRE") == "1")
 
         def run_episode(n_steps, record):
             engine.reset()

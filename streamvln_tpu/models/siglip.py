@@ -92,11 +92,34 @@ def patchify(images: jax.Array, patch: int) -> jax.Array:
 def forward(params: Params, cfg: SigLIPConfig, images: jax.Array,
             attn_impl: str = "auto", remat: bool = False) -> jax.Array:
     """images: [B, H, W, 3] preprocessed pixels -> [B, 729, hidden]."""
-    B = images.shape[0]
     x = patchify(images, cfg.patch_size)
     x = (jnp.dot(x, params["patch_w"], preferred_element_type=jnp.float32)
          + params["patch_b"].astype(jnp.float32)).astype(images.dtype)
-    x = x + params["pos_embed"].astype(x.dtype)[None]
+    return forward_embeddings(params, cfg, x, attn_impl=attn_impl,
+                              remat=remat)
+
+
+def forward_raw(params: Params, cfg: SigLIPConfig, frames_u8: jax.Array,
+                attn_impl: str = "auto", remat: bool = False,
+                compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Raw [B, H, W, 3] uint8 frames -> [B, 729, hidden] via the fused
+    resize/normalize/patch-embed path (ops/fused_patch_embed.py)."""
+    from streamvln_tpu.ops.fused_patch_embed import fused_patch_embed
+    x = fused_patch_embed(frames_u8, params["patch_w"],
+                          params["patch_b"],
+                          image_size=cfg.image_size,
+                          patch_size=cfg.patch_size,
+                          compute_dtype=compute_dtype)
+    return forward_embeddings(params, cfg, x, attn_impl=attn_impl,
+                              remat=remat)
+
+
+def forward_embeddings(params: Params, cfg: SigLIPConfig,
+                       embeds: jax.Array, attn_impl: str = "auto",
+                       remat: bool = False) -> jax.Array:
+    """Patch embeddings [B, N, hidden] -> encoder output."""
+    B = embeds.shape[0]
+    x = embeds + params["pos_embed"].astype(embeds.dtype)[None]
 
     H, Dh = cfg.num_heads, cfg.head_dim
     N = cfg.num_patches

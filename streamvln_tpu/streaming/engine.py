@@ -44,6 +44,7 @@ import numpy as np
 from streamvln_tpu.configs import StreamVLNConfig
 from streamvln_tpu.models import qwen2, streamvln
 from streamvln_tpu.models.qwen2 import KVCache
+from streamvln_tpu.models.siglip import forward_raw as siglip_forward_raw
 from streamvln_tpu.ops.preprocess import preprocess_frames
 
 DEFAULT_BUCKETS = (256, 512, 768, 1024, 1536, 2048, 2560, 3072, 4096)
@@ -51,7 +52,8 @@ DEFAULT_BUCKETS = (256, 512, 768, 1024, 1536, 2048, 2560, 3072, 4096)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new", "stop_ids", "attn_impl"))
+    static_argnames=("cfg", "max_new", "stop_ids", "attn_impl",
+                     "fused_pre"))
 def _prefill_decode(
     params,
     cfg: StreamVLNConfig,
@@ -64,6 +66,7 @@ def _prefill_decode(
     max_new: int,
     stop_ids: Tuple[int, ...],
     attn_impl: str = "auto",
+    fused_pre: bool = False,
 ):
     """One streaming call, a single device dispatch. All per-call host
     data rides in TWO uploads (frame + packed ints) — critical when the
@@ -93,11 +96,23 @@ def _prefill_decode(
     # keeps slot 0's real step-0 features intact.
     write_slot = jnp.where(active, write_slot,
                            jnp.int32(feat_cache.shape[1] - 1))
-    pixels = preprocess_frames(
-        frame.reshape((-1,) + frame.shape[2:]) if frame.ndim == 5
-        else frame, cfg.vision.image_size, dtype=compute_dtype)
-    pooled = streamvln.encode_frames(
-        params, cfg, pixels[:, None], attn_impl)          # [B, tpf, D]
+    raw = frame.reshape((-1,) + frame.shape[2:]) if frame.ndim == 5 \
+        else frame
+    if fused_pre:
+        # fused resize/normalize/patch-embed (ops/fused_patch_embed.py)
+        from streamvln_tpu.models import projector as projector_lib
+        from streamvln_tpu.models.streamvln import pool_2d
+        feats = siglip_forward_raw(
+            params["vision"], cfg.vision, raw, attn_impl,
+            compute_dtype=compute_dtype)
+        feats = projector_lib.forward(params["projector"], feats)
+        pooled = pool_2d(feats, cfg.vision.patches_per_side,
+                         cfg.spatial_pool_stride, cfg.spatial_pool_mode)
+    else:
+        pixels = preprocess_frames(raw, cfg.vision.image_size,
+                                   dtype=compute_dtype)
+        pooled = streamvln.encode_frames(
+            params, cfg, pixels[:, None], attn_impl)      # [B, tpf, D]
     pooled = pooled.reshape(B, tpf, -1).astype(compute_dtype)
     feat_cache = jax.vmap(
         lambda fc, p, s: jax.lax.dynamic_update_slice(fc, p[None], (s, 0, 0))
@@ -218,7 +233,8 @@ class StreamingEngine:
                  stop_ids: Sequence[int] = (),
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
                  compute_dtype=jnp.bfloat16,
-                 attn_impl: str = "auto"):
+                 attn_impl: str = "auto",
+                 fused_preprocess: bool = False):
         self.params = params
         self.cfg = cfg
         self.n_envs = n_envs
@@ -226,6 +242,7 @@ class StreamingEngine:
         self.stop_ids = tuple(int(s) for s in stop_ids)
         self.buckets = tuple(sorted(buckets))
         self.attn_impl = attn_impl
+        self.fused_preprocess = fused_preprocess
         self.compute_dtype = compute_dtype
         self.cache = KVCache.create(cfg.llm, n_envs, cache_capacity,
                                     compute_dtype)
@@ -404,7 +421,8 @@ class StreamingEngine:
         result, self.cache, self.feat_cache = _prefill_decode(
             self.params, self.cfg, self.cache, self.feat_cache,
             jnp.asarray(frames), jnp.asarray(packed), jnp.asarray(meta),
-            self.max_new, self.stop_ids, self.attn_impl)
+            self.max_new, self.stop_ids, self.attn_impl,
+            self.fused_preprocess)
         return {"result": result, "envs": envs,
                 "prefill_lens": prefill_lens}
 
