@@ -193,7 +193,8 @@ class DAggerCollector:
 
 
 def build_env(backend: str, habitat_config_path: str, split: str,
-              num_episodes: int, seed: int):
+              num_episodes: int, seed: int,
+              rgb_shape=(480, 640, 3)):
     """habitat when requested (geodesic expert on real scenes,
     reference: streamvln_dagger.py:330-357), else the fake plane env."""
     if backend == "habitat":
@@ -206,7 +207,8 @@ def build_env(backend: str, habitat_config_path: str, split: str,
             return make_habitat_env(habitat_config_path, split)
         except ImportError:
             pass
-    return FakeNavEnv(make_episodes(num_episodes, seed=seed))
+    return FakeNavEnv(make_episodes(num_episodes, seed=seed),
+                      rgb_shape=rgb_shape)
 
 
 def main(argv=None):

@@ -166,17 +166,31 @@ class ConversationDataset:
         if not cap.isOpened():
             raise ValueError(f"cannot open video {path}")
         total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-        idx = set(np.linspace(0, max(total - 1, 0),
-                              min(self.num_frames_qa, max(total, 1)),
-                              dtype=int).tolist())
-        frames, i = [], 0
-        while True:
-            ok, frame = cap.read()
-            if not ok:
-                break
-            if i in idx:
-                frames.append(frame[:, :, ::-1].copy())   # BGR -> RGB
-            i += 1
+        if total > 0:
+            idx = set(np.linspace(0, total - 1,
+                                  min(self.num_frames_qa, total),
+                                  dtype=int).tolist())
+            frames, i = [], 0
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if i in idx:
+                    frames.append(frame[:, :, ::-1].copy())  # BGR->RGB
+                i += 1
+        else:
+            # some containers (webm/streams) report frame count 0 —
+            # decode everything, then subsample to num_frames_qa
+            frames = []
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                frames.append(frame[:, :, ::-1].copy())
+            if len(frames) > self.num_frames_qa:
+                keep = np.linspace(0, len(frames) - 1,
+                                   self.num_frames_qa, dtype=int)
+                frames = [frames[i] for i in keep]
         cap.release()
         if not frames:
             raise ValueError(f"no frames decoded from {path}")

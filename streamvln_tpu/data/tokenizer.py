@@ -121,7 +121,10 @@ class HFTokenizerAdapter:
         nl = self._tok("\n", add_special_tokens=False)["input_ids"]
         assert len(nl) == 1, f"newline is not a single token: {nl}"
         self.newline_id = nl[0]
-        self.eos_id = self._tok.convert_tokens_to_ids("<|im_end|>")
+        # im_end_id may have been recovered from additional specials
+        # above; keep eos consistent with it rather than re-deriving
+        # (a literal "<|im_end|>" lookup returns None on those vocabs)
+        self.eos_id = self.im_end_id
         self.pad_id = (self._tok.pad_token_id
                        if self._tok.pad_token_id is not None
                        else self._tok.convert_tokens_to_ids("<|endoftext|>"))

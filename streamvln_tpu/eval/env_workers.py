@@ -56,7 +56,10 @@ class RemoteEnv:
 
     def __init__(self, env_factory: Callable[[], object],
                  ctx=None):
-        ctx = ctx or mp.get_context("fork")
+        # spawn, not fork: the evaluator process owns a live JAX/TPU
+        # client (threads + locks that are not fork-safe); spawned
+        # workers start clean. env_factory must be picklable.
+        ctx = ctx or mp.get_context("spawn")
         self._conn, child = ctx.Pipe()
         self._proc = ctx.Process(target=_worker_loop,
                                  args=(env_factory, child),
@@ -116,5 +119,5 @@ def remote_env_factory(
     """Wrap a (picklable) env factory so each call spawns a worker
     process: `BatchedVLNEvaluator(remote_env_factory(make_env), ...)`
     hosts every slot's simulator out-of-process."""
-    ctx = mp.get_context("fork")
+    ctx = mp.get_context("spawn")
     return lambda: RemoteEnv(env_factory, ctx)

@@ -371,11 +371,22 @@ def convert_hf_clip_tower(state_dict, cfg: ClipVisionConfig,
         "patch_w": jnp.asarray(patch_w, dtype),
         "cls_embed": jnp.asarray(t(pre + "embeddings.class_embedding"),
                                  dtype),
-        "pos_embed": jnp.asarray(
-            t(pre + "embeddings.position_embedding.weight"), dtype),
         "pre_ln_s": jnp.asarray(t(pre + "pre_layrnorm.weight"), dtype),
         "pre_ln_b": jnp.asarray(t(pre + "pre_layrnorm.bias"), dtype),
         "layers": {k: jnp.asarray(np.stack(v), dtype)
                    for k, v in stack.items()},
     }
+    if cfg.rope2d:
+        # MLCD towers carry a learned class-token rotary phase instead
+        # of learned position embeddings (vit_rope2d_hf.py:287, 324)
+        key = next((k for k in state_dict
+                    if k.endswith("class_pos_emb")), None)
+        if key is None:
+            raise KeyError(
+                "rope2d tower state dict has no class_pos_emb")
+        params["class_pos_emb"] = jnp.asarray(t(key).reshape(-1),
+                                              dtype)
+    else:
+        params["pos_embed"] = jnp.asarray(
+            t(pre + "embeddings.position_embedding.weight"), dtype)
     return params

@@ -38,7 +38,7 @@ def sequence_logprob(params, cfg: StreamVLNConfig, images, layout,
     vision_flat = streamvln.encode_frames(params, cfg, images, attn_impl)
     embeds = streamvln.splice_embeds(
         params, vision_flat, layout["token_ids"], layout["is_vision"],
-        layout["vision_index"])
+        layout["vision_index"], cfg.llm)
     valid = layout["valid"]
     positions = jnp.where(valid, jnp.cumsum(valid, axis=1) - 1, 0)
     logits, _ = qwen2.forward(

@@ -29,11 +29,13 @@ import numpy as np
 
 
 class _Pending:
-    __slots__ = ("prompt", "rgb", "done", "result")
+    __slots__ = ("prompt", "rgb", "max_new", "done", "result")
 
-    def __init__(self, prompt: str, rgb: np.ndarray):
+    def __init__(self, prompt: str, rgb: np.ndarray,
+                 max_new: Optional[int] = None):
         self.prompt = prompt
         self.rgb = rgb
+        self.max_new = max_new
         self.done = threading.Event()
         self.result: Optional[dict] = None
 
@@ -72,7 +74,7 @@ class BatchedWorker:
                 base64.b64decode(image_b64))).convert("RGB"))
         else:
             rgb = np.zeros((384, 384, 3), np.uint8)
-        pend = _Pending(prompt, rgb)
+        pend = _Pending(prompt, rgb, max_new_tokens)
         self.requests.put(pend)
         pend.done.wait()
         return pend.result
@@ -111,6 +113,10 @@ class BatchedWorker:
                 for slot, pend in enumerate(wave):
                     self.agent.finish_model_step(slot)
                     toks = outs[slot]
+                    # the engine's compiled decode budget is fixed;
+                    # honor smaller per-request budgets by truncation
+                    if pend.max_new is not None:
+                        toks = toks[:int(pend.max_new)]
                     text = self.tok.decode(toks)
                     pend.result = {"text": text, "error_code": 0,
                                    "batch_size": len(wave)}

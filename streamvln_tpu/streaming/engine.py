@@ -192,13 +192,26 @@ def _prefill_decode(
 @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
 def _encode_store(params, cfg: StreamVLNConfig, feat_cache: jax.Array,
                   frame: jax.Array, env: jax.Array, write_slot: jax.Array,
-                  attn_impl: str = "auto"):
+                  attn_impl: str = "auto", fused_pre: bool = False):
     """Encode one frame and store its pooled features at
-    feat_cache[env, write_slot] (history backfill path)."""
-    pixels = preprocess_frames(frame[None], cfg.vision.image_size,
-                               dtype=feat_cache.dtype)
-    pooled = streamvln.encode_frames(params, cfg, pixels[:, None],
-                                     attn_impl)[0]
+    feat_cache[env, write_slot] (history backfill path). Must use the
+    SAME preprocess flavor as _prefill_decode so a feature cache never
+    mixes encoder provenances."""
+    if fused_pre:
+        from streamvln_tpu.models import projector as projector_lib
+        from streamvln_tpu.models.streamvln import pool_2d
+        feats = siglip_forward_raw(params["vision"], cfg.vision,
+                                   frame[None], attn_impl,
+                                   compute_dtype=feat_cache.dtype)
+        feats = projector_lib.forward(params["projector"], feats)
+        pooled = pool_2d(feats, cfg.vision.patches_per_side,
+                         cfg.spatial_pool_stride,
+                         cfg.spatial_pool_mode)[0]
+    else:
+        pixels = preprocess_frames(frame[None], cfg.vision.image_size,
+                                   dtype=feat_cache.dtype)
+        pooled = streamvln.encode_frames(params, cfg, pixels[:, None],
+                                         attn_impl)[0]
     pooled = pooled.astype(feat_cache.dtype)
     return jax.lax.dynamic_update_slice(
         feat_cache, pooled[None, None], (env, write_slot, 0, 0))
@@ -460,7 +473,7 @@ class StreamingEngine:
         self.feat_cache = _encode_store(
             self.params, self.cfg, self.feat_cache,
             jnp.asarray(frame_u8), jnp.int32(env), jnp.int32(slot),
-            self.attn_impl)
+            self.attn_impl, self.fused_preprocess)
 
     def _expanded_len(self, ids) -> int:
         tpf = self.cfg.tokens_per_frame

@@ -37,7 +37,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--model_path", type=str, default=None,
                    help="HF checkpoint dir to load (else random init)")
     p.add_argument("--model_size", type=str, default="7b",
-                   choices=["7b", "1.5b", "0.5b", "tiny"])
+                   help="7b/1.5b/0.5b/tiny or any configs.LLM_REGISTRY "
+                        "family name (llama2-7b, mistral-7b, "
+                        "mixtral-8x7b, mpt-7b, ...)")
     p.add_argument("--spatial_pool_mode", type=str, default="bilinear")
     # streaming/data params (reference defaults)
     p.add_argument("--num_frames", type=int, default=32)
@@ -202,9 +204,18 @@ def main(argv: Optional[List[str]] = None):
     log_path = os.path.join(args.output_dir, "train_log.jsonl")
     evaluator = None
     if args.eval_steps > 0:
-        from streamvln_tpu.eval.hook import MidTrainingEvaluator
-        evaluator = MidTrainingEvaluator(
-            cfg, tok, n_episodes=args.eval_episodes, seed=args.seed)
+        if jax.process_count() > 1:
+            # sharded params span hosts; an in-process eval would need a
+            # cross-host gather — skip rather than crash (the reference
+            # hook also runs as a separate launched job,
+            # llava_trainer_eval.py:17-34)
+            if proc0:
+                print("eval_steps: skipped on multi-host runs")
+        else:
+            from streamvln_tpu.eval.hook import MidTrainingEvaluator
+            evaluator = MidTrainingEvaluator(
+                cfg, tok, n_episodes=args.eval_episodes,
+                seed=args.seed)
     step = start_step
     t_last = time.perf_counter()
     while step < args.num_steps:

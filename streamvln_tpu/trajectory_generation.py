@@ -126,7 +126,8 @@ def main(argv=None):
     if args.env_backend != "fake":
         from streamvln_tpu.dagger import build_env
         env = build_env(args.env_backend, args.habitat_config_path,
-                        args.split, args.num_episodes, args.seed)
+                        args.split, args.num_episodes, args.seed,
+                        rgb_shape=(args.rgb_height, args.rgb_width, 3))
     else:
         env = FakeNavEnv(make_episodes(args.num_episodes, seed=args.seed),
                          rgb_shape=(args.rgb_height, args.rgb_width, 3))

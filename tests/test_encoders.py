@@ -111,3 +111,44 @@ def test_builder_s2_dispatch():
     p = init_fn(jax.random.PRNGKey(0), cfg)
     out = fwd(p, jnp.zeros((1, 32, 32, 3)), attn_impl="dense")
     assert out.shape == (1, 16, 64)
+
+
+def test_convert_rope2d_tower():
+    # MLCD-style state: no position embeddings, has class_pos_emb
+    cfg = ClipVisionConfig(**TINY, hidden_act="gelu", rope2d=True)
+    rng = np.random.RandomState(3)
+    D, F, P = 32, 64, 8
+    state = {"vision_model.embeddings.patch_embedding.weight":
+             rng.randn(D, 3, P, P).astype(np.float32),
+             "vision_model.embeddings.class_embedding":
+             rng.randn(D).astype(np.float32),
+             "vision_model.pre_layrnorm.weight":
+             np.ones(D, np.float32),
+             "vision_model.pre_layrnorm.bias":
+             np.zeros(D, np.float32),
+             "vision_model.class_pos_emb":
+             rng.randn(1, cfg.head_dim // 2).astype(np.float32)}
+    for i in range(cfg.num_layers):
+        lp = f"vision_model.encoder.layers.{i}."
+        for nm, shape in [("layer_norm1.weight", (D,)),
+                          ("layer_norm1.bias", (D,)),
+                          ("layer_norm2.weight", (D,)),
+                          ("layer_norm2.bias", (D,))]:
+            state[lp + nm] = np.ones(shape, np.float32)
+        for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            state[lp + f"self_attn.{nm}.weight"] = \
+                rng.randn(D, D).astype(np.float32) * 0.05
+            state[lp + f"self_attn.{nm}.bias"] = \
+                np.zeros(D, np.float32)
+        state[lp + "mlp.fc1.weight"] = \
+            rng.randn(F, D).astype(np.float32) * 0.05
+        state[lp + "mlp.fc1.bias"] = np.zeros(F, np.float32)
+        state[lp + "mlp.fc2.weight"] = \
+            rng.randn(D, F).astype(np.float32) * 0.05
+        state[lp + "mlp.fc2.bias"] = np.zeros(D, np.float32)
+    params = convert_hf_clip_tower(state, cfg)
+    assert "class_pos_emb" in params and "pos_embed" not in params
+    out = forward(params, cfg, jnp.zeros((1, 32, 32, 3)),
+                  attn_impl="dense")
+    assert out.shape == (1, 16, 32)
+    assert np.isfinite(np.asarray(out)).all()
