@@ -17,6 +17,10 @@ import jax
 import jax.numpy as jnp
 
 QUANT_TARGETS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
+# MoE expert stacks ([L, E, din, dout]) + the Qwen2-MoE shared expert;
+# the router stays full-precision (tiny and argmax-sensitive)
+MOE_QUANT_TARGETS = ("e_gate", "e_up", "e_down", "s_gate_w", "s_up_w",
+                     "s_down_w")
 
 
 def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -63,9 +67,16 @@ def quantize_llm(params: dict,
     llm = dict(params["llm"])
     layers = dict(llm["layers"])
     for name in targets:
+        if name not in layers:
+            continue           # family variants (MoE drops gate_w/up_w)
         q, scale = quantize_weight(layers[name])
         layers[name] = q
         layers[name + "_scale"] = scale
+    for name in MOE_QUANT_TARGETS:
+        if name in layers:
+            q, scale = quantize_weight(layers[name])
+            layers[name] = q
+            layers[name + "_scale"] = scale
     llm["layers"] = layers
     if "lm_head" in llm:
         q, scale = quantize_weight(llm["lm_head"])

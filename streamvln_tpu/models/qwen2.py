@@ -356,24 +356,39 @@ def _moe_mlp(cfg: Qwen2Config, h: jax.Array, p) -> jax.Array:
         jax.nn.one_hot(topi, E, dtype=jnp.float32)
         * topv[..., None], axis=1)                     # [N, E]
 
+    def expert_w(name):
+        """int8 expert stacks carry per-output-channel scales
+        [E, 1, dout] (models/quant.py MOE_QUANT_TARGETS)."""
+        w = p[name]
+        if w.dtype == jnp.int8:
+            return w.astype(h.dtype), p[name + "_scale"][:, 0, :][None]
+        return w, None
+
     act_fn = _mlp_act_fn(cfg.mlp_act)
-    gate = jnp.einsum("nd,edf->nef", hf, p["e_gate"],
+    wg, sg_ = expert_w("e_gate")
+    wu, su_ = expert_w("e_up")
+    wd, sd_ = expert_w("e_down")
+    gate = jnp.einsum("nd,edf->nef", hf, wg,
                       preferred_element_type=jnp.float32)
-    up = jnp.einsum("nd,edf->nef", hf, p["e_up"],
+    if sg_ is not None:
+        gate = gate * sg_
+    up = jnp.einsum("nd,edf->nef", hf, wu,
                     preferred_element_type=jnp.float32)
+    if su_ is not None:
+        up = up * su_
     act = (act_fn(gate) * up).astype(h.dtype)
-    outs = jnp.einsum("nef,efd->ned", act, p["e_down"],
+    outs = jnp.einsum("nef,efd->ned", act, wd,
                       preferred_element_type=jnp.float32)
+    if sd_ is not None:
+        outs = outs * sd_
     out = jnp.einsum("ne,ned->nd", combine, outs)
 
     if "s_gate_w" in p:
-        sg = jnp.dot(hf, p["s_gate_w"],
-                     preferred_element_type=jnp.float32)
-        su = jnp.dot(hf, p["s_up_w"],
-                     preferred_element_type=jnp.float32)
-        shared = jnp.dot((act_fn(sg) * su).astype(h.dtype),
-                         p["s_down_w"],
-                         preferred_element_type=jnp.float32)
+        sg = _proj(hf, p, "s_gate_w")
+        su = _proj(hf, p, "s_up_w")
+        shared = _proj((act_fn(sg.astype(jnp.float32))
+                        * su.astype(jnp.float32)).astype(h.dtype),
+                       p, "s_down_w")
         srg = jax.nn.sigmoid(jnp.dot(
             hf, p["s_route_w"], preferred_element_type=jnp.float32))
         out = out + srg * shared

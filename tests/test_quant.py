@@ -156,3 +156,25 @@ def test_act_int8_forward_close():
     agree = (np.argmax(np.asarray(ref), -1)
              == np.argmax(np.asarray(out), -1)).mean()
     assert agree >= 0.85
+
+
+def test_quantized_moe_forward_close():
+    import dataclasses
+    cfg = dataclasses.replace(
+        tiny_llm(), num_experts=4, num_experts_per_tok=2,
+        shared_expert_intermediate_size=64, qkv_bias=False)
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                             cfg.vocab_size)
+    x = qwen2.embed_tokens(params, ids, cfg)
+    pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
+    ref, _ = qwen2.forward(params, cfg, x, pos, attn_impl="dense")
+
+    qparams = quant.quantize_llm({"llm": params})["llm"]
+    assert qparams["layers"]["e_gate"].dtype == jnp.int8
+    assert qparams["layers"]["s_gate_w"].dtype == jnp.int8
+    assert qparams["layers"]["router_w"].dtype != jnp.int8
+    out, _ = qwen2.forward(qparams, cfg, x, pos, attn_impl="dense")
+    ref_n = np.asarray(jax.nn.softmax(ref, -1))
+    out_n = np.asarray(jax.nn.softmax(out, -1))
+    assert np.abs(ref_n - out_n).max() < 0.06
