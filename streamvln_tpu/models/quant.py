@@ -45,17 +45,49 @@ def int8_dynamic_matmul(x: jax.Array, w_q: jax.Array,
     Replaces the compute half of the reference's bitsandbytes int8
     inference path (streamvln_train.py:1564-1600) for compute-bound
     stages (prefill/training); decode at bs=1 is bandwidth-bound and
-    gains nothing.
+    gains nothing. Differentiable via a straight-through estimator
+    (round's true gradient is zero, which would silently kill
+    training): the backward pass treats the quantized matmul as the
+    dequantized linear map.
     """
     xf = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     x_scale = jnp.maximum(absmax, 1e-8) / 127.0
-    x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * x_scale \
+    x_n = xf / x_scale
+    # straight-through round: forward rounds, gradient passes through
+    x_r = x_n + jax.lax.stop_gradient(jnp.round(x_n) - x_n)
+    x_c = jnp.clip(x_r, -127, 127)
+    acc = _int8_dot(x_c, w_q)
+    return acc * x_scale \
         * w_scale.astype(jnp.float32).reshape(w_scale.shape[-1])
+
+
+@jax.custom_vjp
+def _int8_dot(x_c: jax.Array, w_q: jax.Array) -> jax.Array:
+    """f32-carried int8 values x int8 weights -> int32 MXU dot (f32
+    out). custom_vjp: the backward pass differentiates the equivalent
+    f32 linear map (one bf16 matmul) instead of the zero-gradient
+    int8 cast chain."""
+    xq = x_c.astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_q, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32)
+
+
+def _int8_dot_fwd(x_c, w_q):
+    return _int8_dot(x_c, w_q), (w_q,)
+
+
+def _int8_dot_bwd(res, g):
+    (w_q,) = res
+    gx = jax.lax.dot_general(
+        g, w_q.astype(g.dtype),
+        (((g.ndim - 1,), (1,)), ((), ())))
+    return gx, jnp.zeros_like(w_q)
+
+
+_int8_dot.defvjp(_int8_dot_fwd, _int8_dot_bwd)
 
 
 def quantize_llm(params: dict,

@@ -178,3 +178,18 @@ def test_quantized_moe_forward_close():
     ref_n = np.asarray(jax.nn.softmax(ref, -1))
     out_n = np.asarray(jax.nn.softmax(out, -1))
     assert np.abs(ref_n - out_n).max() < 0.06
+
+
+def test_int8_dynamic_matmul_gradient_flows():
+    # jnp.round has zero gradient; the STE + custom_vjp must keep
+    # training-time gradients alive and aligned with the f32 map
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+    w = jnp.asarray((rng.randn(64, 32) * 0.05).astype(np.float32))
+    q, scale = quant.quantize_weight(w)
+    g = jax.grad(lambda x: quant.int8_dynamic_matmul(x, q,
+                                                     scale).sum())(x)
+    ref = jax.grad(lambda x: (x @ w).sum())(x)
+    cos = float((g * ref).sum()
+                / (jnp.linalg.norm(g) * jnp.linalg.norm(ref)))
+    assert cos > 0.99
