@@ -82,6 +82,14 @@ class Qwen2Config:
     norm_topk_prob: bool = True      # Mixtral yes; Qwen2-MoE no
     # Qwen2-MoE only: always-on shared expert, sigmoid-gated
     shared_expert_intermediate_size: Optional[int] = None
+    # "dense": every expert runs on every token, one-hot combine
+    # (exact, E/k extra FLOPs — fine for small E). "capacity":
+    # matmul-based dispatch into [E, C] buckets, C =
+    # ceil(N*k/E * moe_capacity_factor); overflow tokens drop that
+    # expert's contribution (standard TPU MoE; needed when E >> k,
+    # e.g. Qwen2-MoE's 60 experts where dense is 15x FLOPs).
+    moe_dispatch: str = "dense"
+    moe_capacity_factor: float = 1.25
 
 
 @dataclasses.dataclass(frozen=True)

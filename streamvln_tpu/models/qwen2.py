@@ -368,20 +368,59 @@ def _moe_mlp(cfg: Qwen2Config, h: jax.Array, p) -> jax.Array:
     wg, sg_ = expert_w("e_gate")
     wu, su_ = expert_w("e_up")
     wd, sd_ = expert_w("e_down")
-    gate = jnp.einsum("nd,edf->nef", hf, wg,
-                      preferred_element_type=jnp.float32)
-    if sg_ is not None:
-        gate = gate * sg_
-    up = jnp.einsum("nd,edf->nef", hf, wu,
-                    preferred_element_type=jnp.float32)
-    if su_ is not None:
-        up = up * su_
-    act = (act_fn(gate) * up).astype(h.dtype)
-    outs = jnp.einsum("nef,efd->ned", act, wd,
-                      preferred_element_type=jnp.float32)
-    if sd_ is not None:
-        outs = outs * sd_
-    out = jnp.einsum("ne,ned->nd", combine, outs)
+    if cfg.moe_dispatch == "capacity":
+        # matmul-based capacity dispatch: tokens land in per-expert
+        # [C] buckets (slot = arrival rank within the expert); the
+        # expert MLPs run on [E, C, D] — k/E of the dense-path FLOPs.
+        # Overflow beyond C drops that expert's contribution for the
+        # token (standard TPU MoE trade; capacity_factor sizes C).
+        N = hf.shape[0]
+        C = max(1, -(-N * K // E))
+        C = min(N, int(C * cfg.moe_capacity_factor))
+        onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # [N,K,E]
+        flat = onehot.reshape(N * K, E)
+        rank = jnp.cumsum(flat, axis=0) - flat        # arrivals before
+        keep = (rank < C) * flat                      # [N*K, E]
+        slot = jax.nn.one_hot(rank.astype(jnp.int32), C,
+                              dtype=jnp.float32)      # [N*K, E, C]
+        disp = keep[:, :, None] * slot
+        disp = disp.reshape(N, K, E, C)
+        disp_tok = disp.sum(axis=1)                   # 0/1 [N, E, C]
+        combine_w = (disp * topv[:, :, None, None]).sum(axis=1)
+
+        xe = jnp.einsum("nec,nd->ecd", disp_tok.astype(h.dtype), hf,
+                        preferred_element_type=jnp.float32
+                        ).astype(h.dtype)             # [E, C, D]
+        gate = jnp.einsum("ecd,edf->ecf", xe, wg,
+                          preferred_element_type=jnp.float32)
+        if sg_ is not None:
+            gate = gate * sg_.reshape(E, 1, -1)
+        up = jnp.einsum("ecd,edf->ecf", xe, wu,
+                        preferred_element_type=jnp.float32)
+        if su_ is not None:
+            up = up * su_.reshape(E, 1, -1)
+        act = (act_fn(gate) * up).astype(h.dtype)
+        ye = jnp.einsum("ecf,efd->ecd", act, wd,
+                        preferred_element_type=jnp.float32)
+        if sd_ is not None:
+            ye = ye * sd_.reshape(E, 1, -1)
+        out = jnp.einsum("nec,ecd->nd",
+                         combine_w.astype(jnp.float32), ye)
+    else:
+        gate = jnp.einsum("nd,edf->nef", hf, wg,
+                          preferred_element_type=jnp.float32)
+        if sg_ is not None:
+            gate = gate * sg_
+        up = jnp.einsum("nd,edf->nef", hf, wu,
+                        preferred_element_type=jnp.float32)
+        if su_ is not None:
+            up = up * su_
+        act = (act_fn(gate) * up).astype(h.dtype)
+        outs = jnp.einsum("nef,efd->ned", act, wd,
+                          preferred_element_type=jnp.float32)
+        if sd_ is not None:
+            outs = outs * sd_
+        out = jnp.einsum("ne,ned->nd", combine, outs)
 
     if "s_gate_w" in p:
         sg = _proj(hf, p, "s_gate_w")

@@ -251,3 +251,31 @@ def test_mpt_decode_with_cache():
         inc.append(np.asarray(logits[0, 0]))
     np.testing.assert_allclose(np.stack(inc), np.asarray(full[0]),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_moe_capacity_dispatch_matches_dense():
+    import dataclasses
+    base = Qwen2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+        rope_theta=10000.0, qkv_bias=False, num_experts=4,
+        num_experts_per_tok=2,
+        shared_expert_intermediate_size=48)
+    params = qwen2.init(jax.random.PRNGKey(0), base)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, 64)
+    x = qwen2.embed_tokens(params, ids, base)
+    pos = jnp.broadcast_to(jnp.arange(12), (2, 12))
+    ref, _ = qwen2.forward(params, base, x, pos, attn_impl="dense")
+
+    # ample capacity: no drops -> identical outputs
+    cap = dataclasses.replace(base, moe_dispatch="capacity",
+                              moe_capacity_factor=8.0)
+    got, _ = qwen2.forward(params, cap, x, pos, attn_impl="dense")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    # tight capacity: still finite, close in distribution
+    tight = dataclasses.replace(base, moe_dispatch="capacity",
+                                moe_capacity_factor=1.0)
+    got_t, _ = qwen2.forward(params, tight, x, pos, attn_impl="dense")
+    assert np.isfinite(np.asarray(got_t)).all()
