@@ -70,6 +70,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--freeze_vision", action="store_true")
     p.add_argument("--freeze_projector", action="store_true")
     p.add_argument("--no_remat", action="store_true")
+    # LoRA / k-bit (reference: streamvln_train.py:1564-1632 —
+    # --lora_enable + bitsandbytes --bits path)
+    p.add_argument("--lora_enable", action="store_true",
+                   help="train only LoRA adapters on the LLM")
+    p.add_argument("--lora_r", type=int, default=16)
+    p.add_argument("--lora_alpha", type=float, default=32.0)
+    p.add_argument("--bits", type=int, default=16, choices=[8, 16],
+                   help="8: int8 weight-only quantize the LLM "
+                        "(models/quant.py) after load")
+    p.add_argument("--act_int8", action="store_true",
+                   help="int8 x int8 MXU matmuls with per-token "
+                        "activation quant (requires --bits 8; "
+                        "STE gradients)")
     # mesh
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=None)
@@ -165,7 +178,8 @@ def main(argv: Optional[List[str]] = None):
         freeze_vision=args.freeze_vision,
         freeze_projector=args.freeze_projector,
         grad_accum_steps=args.grad_accum_steps,
-        remat=not args.no_remat)
+        remat=not args.no_remat,
+        lora_only=args.lora_enable)
 
     tok = load_tokenizer(args.model_path, args.model_max_length)
     transform = build_transform(args.data_augmentation, args.seed)
@@ -194,6 +208,19 @@ def main(argv: Optional[List[str]] = None):
             args.model_path, cfg, dtype)
     else:
         params = streamvln.init(jax.random.PRNGKey(args.seed), cfg, dtype)
+    if args.bits == 8:
+        from streamvln_tpu.models import quant
+        params = quant.quantize_llm(params)
+        if args.act_int8:
+            cfg = dataclasses.replace(
+                cfg, llm=dataclasses.replace(cfg.llm, act_int8=True))
+    elif args.act_int8:
+        raise SystemExit("--act_int8 requires --bits 8")
+    if args.lora_enable:
+        from streamvln_tpu.models import lora as lora_lib
+        params = lora_lib.add_lora(params, jax.random.PRNGKey(
+            args.seed + 1), cfg.llm, rank=args.lora_r,
+            alpha=args.lora_alpha)
     params = mesh_lib.shard_params(params, mesh)
     state = train_lib.create_train_state(params, tcfg)
     state, start_step = ckpt.resume_latest(

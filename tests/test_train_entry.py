@@ -87,3 +87,28 @@ def test_train_cli_mid_training_eval(traj_root, tmp_path):
     assert len(ev) == 1
     keys = set(ev[0])
     assert "eval/sucs_all" in keys and "eval/spls_all" in keys
+
+
+def test_train_cli_lora_int8(traj_root, tmp_path):
+    from streamvln_tpu import train as train_entry
+    out = str(tmp_path / "run4")
+    state = train_entry.main([
+        "--video_folders", traj_root,
+        "--output_dir", out,
+        "--model_size", "tiny",
+        "--num_frames", "8", "--num_future_steps", "2",
+        "--num_history", "2",
+        "--num_steps", "2", "--batch_size", "2",
+        "--log_steps", "1", "--save_steps", "10",
+        "--lora_enable", "--lora_r", "4", "--bits", "8",
+        "--act_int8",
+        "--dp", "1", "--fsdp", "2",
+        "--learning_rate", "1e-3",
+    ])
+    import jax.numpy as jnp
+    layers = state.params["llm"]["layers"]
+    assert layers["q_w"].dtype == jnp.int8         # base stays int8
+    assert "q_w_lora_a" in layers                  # adapters present
+    log = [json.loads(l) for l in
+           open(os.path.join(out, "train_log.jsonl"))]
+    assert all(np.isfinite(r["loss"]) for r in log if "loss" in r)
