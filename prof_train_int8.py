@@ -41,7 +41,9 @@ def batch_for(cfg):
     batch["images"] = jnp.asarray(rng.rand(B, 1, S, S, 3).astype(np.float32))
     return batch
 
-for flag in (False, True):
+import sys
+for flag in ([sys.argv[1] == "1"] if len(sys.argv) > 1
+             else [False, True]):
     cfg, params = build(flag)
     tcfg = train_lib.TrainConfig(learning_rate=1e-4, total_steps=50,
                                  remat=True, lora_only=True)

@@ -58,8 +58,18 @@ def merge_lora(params: dict) -> dict:
             b = layers.pop(base + "_lora_b")
             delta = jnp.einsum("lir,lro->lio", a.astype(jnp.float32),
                                b.astype(jnp.float32)) * scale
-            layers[base] = (layers[base].astype(jnp.float32)
-                            + delta).astype(layers[base].dtype)
+            w = layers[base]
+            if w.dtype == jnp.int8:
+                # dequantize, fold, requantize (a raw int8 cast would
+                # silently truncate the merged weights)
+                from streamvln_tpu.models.quant import quantize_weight
+                wf = w.astype(jnp.float32) * layers[base + "_scale"]
+                q, sc = quantize_weight(wf + delta)
+                layers[base] = q
+                layers[base + "_scale"] = sc
+            else:
+                layers[base] = (w.astype(jnp.float32)
+                                + delta).astype(w.dtype)
     out = dict(params)
     out["llm"] = {k: v for k, v in llm.items() if k != "lora_scale"}
     out["llm"]["layers"] = layers

@@ -281,7 +281,19 @@ def main(argv: Optional[List[str]] = None):
     ckpt.save_checkpoint(os.path.join(args.output_dir, "ckpt"), state,
                          step, wait=True)
     if proc0 and args.export_hf:
-        ckpt.save_hf(jax.device_get(state.params), cfg,
+        export_params = jax.device_get(state.params)
+        if args.lora_enable:
+            # adapter-only artifact + merged full export (reference
+            # split save: streamvln_train.py:1860-1870)
+            from streamvln_tpu.models import lora as lora_lib
+            _, adapters = lora_lib.split_lora(export_params)
+            flat = {k: np.asarray(v)
+                    for k, v in adapters["layers"].items()}
+            flat["lora_scale"] = np.asarray(adapters["lora_scale"])
+            np.savez(os.path.join(args.output_dir,
+                                  "lora_adapters.npz"), **flat)
+            export_params = lora_lib.merge_lora(export_params)
+        ckpt.save_hf(export_params, cfg,
                      os.path.join(args.output_dir, "hf_export"))
     if proc0:
         print(json.dumps({"final_step": step, "done": True}))

@@ -101,7 +101,7 @@ def test_train_cli_lora_int8(traj_root, tmp_path):
         "--num_steps", "2", "--batch_size", "2",
         "--log_steps", "1", "--save_steps", "10",
         "--lora_enable", "--lora_r", "4", "--bits", "8",
-        "--act_int8",
+        "--act_int8", "--export_hf",
         "--dp", "1", "--fsdp", "2",
         "--learning_rate", "1e-3",
     ])
@@ -112,3 +112,8 @@ def test_train_cli_lora_int8(traj_root, tmp_path):
     log = [json.loads(l) for l in
            open(os.path.join(out, "train_log.jsonl"))]
     assert all(np.isfinite(r["loss"]) for r in log if "loss" in r)
+    # adapter-only artifact + merged (dequantized) HF export
+    ad = np.load(os.path.join(out, "lora_adapters.npz"))
+    assert any(k.endswith("_lora_a") for k in ad.files)
+    assert os.path.exists(
+        os.path.join(out, "hf_export", "model.safetensors"))
