@@ -81,8 +81,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(models/quant.py) after load")
     p.add_argument("--act_int8", action="store_true",
                    help="int8 x int8 MXU matmuls with per-token "
-                        "activation quant (requires --bits 8; "
-                        "STE gradients)")
+                        "activation quant (requires --bits 8; STE "
+                        "gradients). QAT knob — measured ~12% SLOWER "
+                        "for training on v5e (backward runs "
+                        "dequantized and remat doubles the quant "
+                        "ops); the throughput win is inference "
+                        "prefill (-27%)")
     # mesh
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=None)
