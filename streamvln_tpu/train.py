@@ -165,6 +165,20 @@ def main(argv: Optional[List[str]] = None):
         jax.distributed.initialize()
     proc0 = jax.process_index() == 0
 
+    # persistent compilation cache: the train step compiles twice (the
+    # donated state comes back with loop-internal layouts, so the
+    # second call has a new jit signature) — both land in the cache,
+    # so restarts skip straight to steady state
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     from streamvln_tpu.models import convert_hf, streamvln
     from streamvln_tpu.parallel import mesh as mesh_lib
