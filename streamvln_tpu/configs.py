@@ -88,6 +88,10 @@ class Qwen2Config:
     # ceil(N*k/E * moe_capacity_factor); overflow tokens drop that
     # expert's contribution (standard TPU MoE; needed when E >> k,
     # e.g. Qwen2-MoE's 60 experts where dense is 15x FLOPs).
+    # CAVEAT: drops depend on the per-call token count N, so capacity
+    # mode is NOT bit-identical between prefill and incremental
+    # decode — keep "dense" where the streaming-parity invariant
+    # (CLAUDE.md) must hold.
     moe_dispatch: str = "dense"
     moe_capacity_factor: float = 1.25
 

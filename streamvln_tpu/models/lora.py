@@ -31,6 +31,9 @@ def add_lora(params: dict, rng: jax.Array, cfg: Qwen2Config,
     layers = dict(params["llm"]["layers"])
     keys = jax.random.split(rng, len(targets))
     for key, name in zip(keys, targets):
+        if name not in layers:
+            continue   # family variants (MoE has e_* expert stacks
+            # instead of gate_w/up_w/down_w; adapters go on attention)
         w = layers[name]                      # [L, din, dout]
         L, din, dout = w.shape
         layers[f"{name}_lora_a"] = (

@@ -374,9 +374,10 @@ def _moe_mlp(cfg: Qwen2Config, h: jax.Array, p) -> jax.Array:
         # expert MLPs run on [E, C, D] — k/E of the dense-path FLOPs.
         # Overflow beyond C drops that expert's contribution for the
         # token (standard TPU MoE trade; capacity_factor sizes C).
+        import math
         N = hf.shape[0]
-        C = max(1, -(-N * K // E))
-        C = min(N, int(C * cfg.moe_capacity_factor))
+        C = min(N, max(1, math.ceil(N * K / E
+                                    * cfg.moe_capacity_factor)))
         onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # [N,K,E]
         flat = onehot.reshape(N * K, E)
         rank = jnp.cumsum(flat, axis=0) - flat        # arrivals before

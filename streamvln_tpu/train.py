@@ -227,6 +227,12 @@ def main(argv: Optional[List[str]] = None):
     else:
         params = streamvln.init(jax.random.PRNGKey(args.seed), cfg, dtype)
     if args.bits == 8:
+        if not args.lora_enable:
+            # int8 leaves carry float0 grads; only the LoRA path's
+            # set_to_zero branch tolerates them (reference's k-bit
+            # load likewise requires PEFT adapters,
+            # streamvln_train.py:1564-1632)
+            raise SystemExit("--bits 8 requires --lora_enable")
         from streamvln_tpu.models import quant
         params = quant.quantize_llm(params)
         if args.act_int8:
@@ -304,6 +310,12 @@ def main(argv: Optional[List[str]] = None):
             # adapter-only artifact + merged full export (reference
             # split save: streamvln_train.py:1860-1870)
             from streamvln_tpu.models import lora as lora_lib
+            if args.bits == 8:
+                # merge into DEQUANTIZED weights: folding the delta
+                # into int8 and requantizing rounds away adapter
+                # deltas smaller than half the quant step
+                from streamvln_tpu.models import quant
+                export_params = quant.dequantize_llm(export_params)
             _, adapters = lora_lib.split_lora(export_params)
             flat = {k: np.asarray(v)
                     for k, v in adapters["layers"].items()}
