@@ -165,3 +165,25 @@ def test_batched_worker_waves():
     finally:
         srv.shutdown()
         worker.stop()
+
+
+def test_cli_single_turn(tmp_path, capsys, monkeypatch):
+    from streamvln_tpu.serve import cli
+    # tiny model single-turn mode: one JSON line with text + actions
+    cli.main(["--model_size", "tiny",
+              "--instruction", "walk to the door"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert "actions" in rec and isinstance(rec["actions"], list)
+    assert "generate_s" in rec
+
+
+def test_cli_interactive_reset_and_exit(capsys, monkeypatch):
+    import io
+    from streamvln_tpu.serve import cli
+    monkeypatch.setattr("sys.stdin",
+                        io.StringIO("go forward\nreset\nexit\n"))
+    cli.main(["--model_size", "tiny"])
+    out = capsys.readouterr().out
+    assert "(dialogue reset)" in out
+    assert '"actions"' in out
