@@ -28,13 +28,20 @@ TARGET_SIZE = 384
 @functools.partial(jax.jit, static_argnames=("size", "dtype"))
 def preprocess_frames(frames_u8: jax.Array, size: int = TARGET_SIZE,
                       dtype=jnp.bfloat16) -> jax.Array:
-    """[N, H, W, 3] uint8 -> [N, size, size, 3] normalized, on device."""
+    """[N, H, W, 3] uint8 -> [N, size, size, 3] normalized, on device.
+
+    Already-target-sized input (e.g. host-side C++ resize,
+    native/dataloader.cpp — the reference also resizes on host via
+    SigLipImageProcessor) skips the device resize entirely; uploading
+    384-squared uint8 halves the host->device bytes vs raw 480x640.
+    """
     x = frames_u8.astype(jnp.float32)
     n = frames_u8.shape[0]
-    x = jax.image.resize(x, (n, size, size, 3), method="cubic")
-    # PIL clips bicubic overshoot back to the u8 range before rescale;
-    # match it (reference: SigLipImageProcessor resize on uint8)
-    x = jnp.clip(x, 0.0, 255.0)
+    if frames_u8.shape[1:3] != (size, size):
+        x = jax.image.resize(x, (n, size, size, 3), method="cubic")
+        # PIL clips bicubic overshoot back to the u8 range before
+        # rescale (reference: SigLipImageProcessor resize on uint8)
+        x = jnp.clip(x, 0.0, 255.0)
     x = x * (1.0 / 255.0)
     x = (x - IMAGE_MEAN) / IMAGE_STD
     return x.astype(dtype)

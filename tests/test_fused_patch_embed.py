@@ -89,3 +89,37 @@ def test_engine_fused_preprocess_smoke():
                              run_model=(step % 2 == 0))
         if step % 2 == 0:
             assert a is not None and len(a) >= 1
+
+
+def test_preprocess_skips_resize_when_target_sized():
+    from streamvln_tpu.ops.preprocess import preprocess_frames
+    rng = np.random.RandomState(4)
+    f = rng.randint(0, 255, (2, 32, 32, 3), np.uint8)
+    out = preprocess_frames(jnp.asarray(f), size=32, dtype=jnp.float32)
+    want = (f.astype(np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_engine_accepts_preresized_frames():
+    from streamvln_tpu.agent import VLNAgent
+    from streamvln_tpu.configs import tiny_streamvln
+    from streamvln_tpu.data.tokenizer import ByteTokenizer
+    from streamvln_tpu.models import streamvln
+    from streamvln_tpu.streaming.engine import StreamingEngine
+
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    engine = StreamingEngine(
+        params, cfg, stop_ids=(tok.im_end_id,),
+        compute_dtype=jnp.float32, max_new_tokens=4,
+        cache_capacity=2048, buckets=(512, 768, 1024))
+    agent = VLNAgent(engine, tok)
+    rng = np.random.RandomState(0)
+    S = cfg.vision.image_size
+    for step in range(4):
+        frame = rng.randint(0, 255, (S, S, 3), np.uint8)  # pre-sized
+        a, _, _ = agent.step(0, frame, "walk", run_model=(step % 2 == 0))
+        if step % 2 == 0:
+            assert a is not None
