@@ -121,6 +121,10 @@ def main():
             buckets=(256, 512, 768, 1024, 2304, 2560, 3072),
             fused_preprocess=os.environ.get("BENCH_FUSED_PRE") == "1")
 
+        presized = os.environ.get("BENCH_PRESIZED") == "1"
+        if presized:
+            from streamvln_tpu import native as native_lib
+
         def run_episode(n_steps, record):
             engine.reset()
             for e in range(n_envs):
@@ -128,6 +132,11 @@ def main():
             lat = []
             for step in range(0, n_steps, nfs):
                 frame = rng.randint(0, 255, (480, 640, 3), np.uint8)
+                if presized:
+                    # host C++ resize -> upload compact 384^2 uint8
+                    # (reference also resizes host-side)
+                    frame = native_lib.resize_batch_u8(
+                        frame[None], cfg.vision.image_size)[0]
                 boundary = step != 0 and step % nf == 0
                 if boundary:
                     for e in range(n_envs):

@@ -71,6 +71,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.svt_decode_jpeg.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_int]
+        lib.svt_resize_batch_u8.restype = ctypes.c_int
+        lib.svt_resize_batch_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -99,6 +103,26 @@ def preprocess_batch(frames_u8: np.ndarray, size: int = 384,
         out.ctypes.data_as(ctypes.c_void_p), size, mean, std)
     if rc != 0:
         raise RuntimeError(f"preprocess_batch failed on {rc} frames")
+    return out
+
+
+def resize_batch_u8(frames_u8: np.ndarray,
+                    size: int = 384) -> np.ndarray:
+    """[N, H, W, 3] uint8 -> [N, size, size, 3] uint8 (PIL-exact
+    threaded bicubic; the light half of preprocessing — ship compact
+    uint8 to the device, which applies only the normalize affine)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native lib unavailable: {_build_error}")
+    frames_u8 = np.ascontiguousarray(frames_u8, np.uint8)
+    n, h, w, c = frames_u8.shape
+    assert c == 3
+    out = np.empty((n, size, size, 3), np.uint8)
+    rc = lib.svt_resize_batch_u8(
+        frames_u8.ctypes.data_as(ctypes.c_void_p), n, h, w,
+        out.ctypes.data_as(ctypes.c_void_p), size)
+    if rc != 0:
+        raise RuntimeError("resize_batch_u8 failed")
     return out
 
 

@@ -247,6 +247,55 @@ void resize_normalize(const uint8_t* src, int in_h, int in_w,
   }
 }
 
+// Resize u8 HWC3 -> u8 HWC3 (PIL-exact: both passes round to u8).
+void resize_u8(const uint8_t* src, int in_h, int in_w, uint8_t* dst,
+               int out_h, int out_w) {
+  ResampleCoeffs hc = precompute_coeffs(in_w, out_w);
+  ResampleCoeffs vc = precompute_coeffs(in_h, out_h);
+  auto q8 = [](double v) {
+    v = v < 0.0 ? 0.0 : (v > 255.0 ? 255.0 : v);
+    return (uint8_t)std::floor(v + 0.5);
+  };
+  std::vector<double> tmp((size_t)in_h * out_w * 3);
+  for (int y = 0; y < in_h; ++y) {
+    const uint8_t* row = src + (size_t)y * in_w * 3;
+    double* trow = &tmp[(size_t)y * out_w * 3];
+    for (int x = 0; x < out_w; ++x) {
+      int xmin = hc.bounds[(size_t)x * 2];
+      int count = hc.bounds[(size_t)x * 2 + 1];
+      const double* w = &hc.weights[(size_t)x * hc.ksize];
+      double acc0 = 0, acc1 = 0, acc2 = 0;
+      for (int i = 0; i < count; ++i) {
+        const uint8_t* px = row + (size_t)(xmin + i) * 3;
+        acc0 += px[0] * w[i];
+        acc1 += px[1] * w[i];
+        acc2 += px[2] * w[i];
+      }
+      trow[(size_t)x * 3 + 0] = (double)q8(acc0);
+      trow[(size_t)x * 3 + 1] = (double)q8(acc1);
+      trow[(size_t)x * 3 + 2] = (double)q8(acc2);
+    }
+  }
+  for (int y = 0; y < out_h; ++y) {
+    int ymin = vc.bounds[(size_t)y * 2];
+    int count = vc.bounds[(size_t)y * 2 + 1];
+    const double* w = &vc.weights[(size_t)y * vc.ksize];
+    uint8_t* drow = dst + (size_t)y * out_w * 3;
+    for (int x = 0; x < out_w; ++x) {
+      double acc0 = 0, acc1 = 0, acc2 = 0;
+      for (int i = 0; i < count; ++i) {
+        const double* px = &tmp[((size_t)(ymin + i) * out_w + x) * 3];
+        acc0 += px[0] * w[i];
+        acc1 += px[1] * w[i];
+        acc2 += px[2] * w[i];
+      }
+      drow[(size_t)x * 3 + 0] = q8(acc0);
+      drow[(size_t)x * 3 + 1] = q8(acc1);
+      drow[(size_t)x * 3 + 2] = q8(acc2);
+    }
+  }
+}
+
 struct Counter {
   std::mutex mu;
   std::condition_variable cv;
@@ -277,6 +326,27 @@ int svt_preprocess_batch(const uint8_t* frames, int n, int in_h,
   std::unique_lock<std::mutex> lk(done.mu);
   done.cv.wait(lk, [&] { return done.remaining == 0; });
   return failed.load();
+}
+
+// Resize a batch of raw RGB frames to u8 [n, out, out, 3] without
+// normalizing — the light half of preprocessing for hosts that want
+// to ship compact uint8 to the device (device applies the normalize
+// affine; ops/preprocess.py skips its resize for pre-sized input).
+int svt_resize_batch_u8(const uint8_t* frames, int n, int in_h,
+                        int in_w, uint8_t* out, int out_size) {
+  Counter done{.remaining = n};
+  for (int i = 0; i < n; ++i) {
+    pool()->submit([&, i] {
+      resize_u8(frames + (size_t)i * in_h * in_w * 3, in_h, in_w,
+                out + (size_t)i * out_size * out_size * 3, out_size,
+                out_size);
+      std::lock_guard<std::mutex> lk(done.mu);
+      if (--done.remaining == 0) done.cv.notify_one();
+    });
+  }
+  std::unique_lock<std::mutex> lk(done.mu);
+  done.cv.wait(lk, [&] { return done.remaining == 0; });
+  return 0;
 }
 
 // Load + decode + preprocess a batch of JPEG files into f32

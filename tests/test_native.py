@@ -137,3 +137,18 @@ def test_conversation_dataset_consumes_video_file(tmp_path):
     # one <image> sentinel per sampled frame was injected
     assert (sample["input_ids"] == -200).sum() == 4
     assert sample["time_ids"].tolist() == [0, 1, 2, 3]
+
+
+def test_resize_batch_u8_pil_parity():
+    from streamvln_tpu import native
+    if not native.available():
+        pytest.skip(f"native lib unavailable: {native.build_error()}")
+    from PIL import Image
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 255, (3, 48, 64, 3), np.uint8)
+    out = native.resize_batch_u8(frames, 32)
+    assert out.shape == (3, 32, 32, 3) and out.dtype == np.uint8
+    pil = np.stack([np.asarray(Image.fromarray(f).resize(
+        (32, 32), Image.BICUBIC)) for f in frames])
+    # PIL-exact up to 1 LSB (accumulation-order rounding)
+    assert np.abs(out.astype(int) - pil.astype(int)).max() <= 1
