@@ -112,6 +112,19 @@ def main():
     rng = np.random.RandomState(0)
     nfs, nf, nh = cfg.num_future_steps, cfg.num_frames, cfg.num_history
 
+    # default ON when the native lib builds: the reference also resizes
+    # host-side (SigLipImageProcessor), and compact 384^2 uint8 uploads
+    # halve the host->device bytes (BENCH_PRESIZED=0 forces the
+    # raw-frame device-resize path)
+    presized = os.environ.get("BENCH_PRESIZED", "1") == "1"
+    if presized:
+        try:
+            from streamvln_tpu import native as native_lib
+            native_lib.resize_batch_u8(np.zeros((1, 8, 8, 3), np.uint8),
+                                       8)
+        except Exception:
+            presized = False
+
     def measure(n_envs):
         engine = StreamingEngine(
             params, cfg, n_envs=n_envs, cache_capacity=4096,
@@ -120,10 +133,6 @@ def main():
             compute_dtype=dtype,
             buckets=(256, 512, 768, 1024, 2304, 2560, 3072),
             fused_preprocess=os.environ.get("BENCH_FUSED_PRE") == "1")
-
-        presized = os.environ.get("BENCH_PRESIZED") == "1"
-        if presized:
-            from streamvln_tpu import native as native_lib
 
         def run_episode(n_steps, record):
             engine.reset()
@@ -181,6 +190,7 @@ def main():
             "model": model_name,
             "backend": backend,
             "max_new_tokens": max_new,
+            "presized_upload": presized,
             **{k: v for k, v in head.items() if k != "hz"},
         },
     }
