@@ -108,15 +108,21 @@ class VLNAgent:
         boundary = (not self.in_dialogue[idx]) and step != 0
         turn_ids = self._build_turn(idx, instruction_text,
                                     with_memory=boundary)
-        history = self._history_steps(idx) if (
-            boundary and step % self.cfg.num_frames == 0) else []
-        if boundary and not history:
-            # misaligned boundary (model emitted != num_future_steps
-            # actions): drop the <memory> clause rather than crash —
-            # rebuild without memory
-            self.in_dialogue[idx] = False
-            turn_ids = self._build_turn(idx, instruction_text,
-                                        with_memory=False)
+        # History is injected at EVERY first post-reset call, aligned or
+        # not: the reference adds the memory clause whenever
+        # output_ids is None and step_id != 0 (streamvln_eval.py:295-297,
+        # streamvln_agent.py:205-207), and the training data always pairs
+        # the clause with num_history frames (vln_action_dataset.py:
+        # 753-773). The reference's image stacking is gated on
+        # step_id % num_frames == 0 (streamvln_eval.py:313-321), which in
+        # the misaligned case (LLM emitted != num_future_steps actions)
+        # leaves the <memory> token with memory_features=None and
+        # crashes in the splice (stream_video_vln.py:126, 228-231) — so
+        # we follow the clause's (and the training distribution's)
+        # intent instead: history sampled from time_ids[0], which is
+        # the window-reset step in both regimes. Frames that never saw a
+        # model call are encoded on demand via backfill.
+        history = self._history_steps(idx) if boundary else []
         for s in history:
             self.engine.backfill(idx, self.rgb_list[idx][s], s)
         return {"slot": idx,

@@ -135,9 +135,30 @@ def _prefill_decode(
         logits_positions=lengths - 1)
     last_logits = logits[:, 0]
 
-    # 4. greedy decode with early stop
-    first_tok = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+    # 4. greedy decode with early stop; inactive rows are done from the
+    # start so they never extend the while loop
     stop_arr = jnp.asarray(stop_ids, jnp.int32)
+    out, n_out, cache = _greedy_loop(
+        params, cfg, cache, last_logits, max_new, stop_arr, attn_impl,
+        compute_dtype, force_done=~active)
+
+    # inactive rows keep their pre-call KV lengths (their dummy writes
+    # land past the kept length and are never attended)
+    cache = KVCache(cache.k, cache.v,
+                    jnp.where(active, cache.length, saved_length))
+    result = jnp.concatenate(
+        [jnp.where(active, n_out, 0)[:, None], out], axis=1)
+    return result, cache, feat_cache
+
+
+def _greedy_loop(params, cfg, cache, last_logits, max_new: int,
+                 stop_arr, attn_impl, compute_dtype, force_done=None):
+    """Shared greedy while-loop: first token from `last_logits`, then
+    feed-forward decode with per-row stop masking. Returns
+    (out [B, max_new], n_out [B], cache). Rows in `force_done` emit
+    their argmax token but never advance the loop or their KV length."""
+    B = last_logits.shape[0]
+    first_tok = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 
     def is_stop(t):
         return jnp.any(t[:, None] == stop_arr[None, :], axis=-1)
@@ -166,30 +187,59 @@ def _prefill_decode(
         out = jnp.where(done[:, None], out,
                         jax.vmap(lambda o, t, i: o.at[i].set(t))(
                             out, nxt, jnp.full((B,), 0, jnp.int32) + n))
-        done_next = done | is_stop(nxt) | is_stop(cur)
+        done_next = done | is_stop(nxt)
         cur = jnp.where(done_next, cur, nxt)
         return (new_cache, cur, out, n + 1, done_next)
 
     done0 = is_stop(first_tok)
+    if force_done is not None:
+        done0 = jnp.logical_or(done0, force_done)
     state = (cache, first_tok, out0, jnp.int32(1), done0)
     cache, _, out, n_steps, _ = jax.lax.while_loop(cond, body, state)
 
     # count real tokens per row: tokens up to and including first stop
-    stop_mask = jnp.any(out[:, :, None] == stop_arr[None, None, :], axis=-1)
+    stop_mask = jnp.any(out[:, :, None] == stop_arr[None, None, :],
+                        axis=-1)
     has_stop = jnp.any(stop_mask, axis=1)
     first_stop = jnp.argmax(stop_mask, axis=1)
     n_out = jnp.where(has_stop, first_stop + 1, n_steps)
+    return out, n_out, cache
 
-    # inactive rows keep their pre-call KV lengths (their dummy writes
-    # land past the kept length and are never attended)
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_new", "stop_ids", "attn_impl"))
+def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
+                     pending: jax.Array,      # [B] int32
+                     active: jax.Array,       # [B] bool
+                     max_new: int, stop_ids: Tuple[int, ...],
+                     attn_impl: str = "auto"):
+    """Decode-only continuation: feed each active row's pending token
+    (the last one emitted by the previous call, whose KV is absent by
+    the suffix-cache convention) and greedily decode up to max_new more.
+    This is the chunk primitive for token-streaming serving — the
+    reference streams from inside HF generate via TextIteratorStreamer
+    (llava/serve/model_worker.py:126-180); our decode loop is one fused
+    device dispatch, so streaming = a sequence of these chunk calls."""
+    saved_length = cache.length
+    compute_dtype = cache.k.dtype
+    emb = qwen2.embed_tokens(params["llm"], pending[:, None],
+                             cfg.llm).astype(compute_dtype)
+    pos = cache.length[:, None]
+    logits, cache = qwen2.forward(params["llm"], cfg.llm, emb, pos,
+                                  cache=cache, attn_impl=attn_impl)
+    stop_arr = jnp.asarray(stop_ids, jnp.int32)
+    out, n_out, cache = _greedy_loop(
+        params, cfg, cache, logits[:, 0], max_new, stop_arr, attn_impl,
+        compute_dtype, force_done=~active)
     cache = KVCache(cache.k, cache.v,
                     jnp.where(active, cache.length, saved_length))
     result = jnp.concatenate(
         [jnp.where(active, n_out, 0)[:, None], out], axis=1)
-    return result, cache, feat_cache
+    return result, cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "attn_impl", "fused_pre"))
 def _encode_store(params, cfg: StreamVLNConfig, feat_cache: jax.Array,
                   frame: jax.Array, env: jax.Array, write_slot: jax.Array,
                   attn_impl: str = "auto", fused_pre: bool = False):
@@ -456,6 +506,40 @@ class StreamingEngine:
                 + max(n_out - 1, 0)
             out[env] = toks
         return out
+
+    def continue_decode(self, env: int) -> List[int]:
+        """Decode one more chunk (up to max_new_tokens) for `env` from
+        its pending token, without a new frame or turn. The serving
+        token-streaming primitive: generate() + continue_decode()* is
+        token-for-token identical to one generate() with a larger
+        decode budget (tests/test_streaming.py chunked-parity)."""
+        st = self.envs[env]
+        if st.pending_token is None:
+            raise RuntimeError(
+                f"env {env}: no pending token; call generate() first")
+        if env in self._inflight:
+            raise RuntimeError(
+                f"env {env} has an uncollected async handle")
+        worst = st.kv_length + 1 + self.max_new
+        if worst > self.cache.capacity:
+            raise RuntimeError(
+                f"env {env}: KV cache would overflow ({worst} > "
+                f"capacity {self.cache.capacity})")
+        pending = np.zeros((self.n_envs,), np.int32)
+        pending[env] = st.pending_token
+        active = np.zeros((self.n_envs,), bool)
+        active[env] = True
+        result, self.cache = _decode_continue(
+            self.params, self.cfg, self.cache, jnp.asarray(pending),
+            jnp.asarray(active), self.max_new, self.stop_ids,
+            self.attn_impl)
+        res = np.asarray(result)
+        n_out = int(res[env, 0])
+        toks = [int(t) for t in res[env, 1: 1 + n_out]]
+        if toks:
+            st.pending_token = toks[-1]
+        st.kv_length += 1 + max(n_out - 1, 0)
+        return toks
 
     def backfill(self, env: int, frame_u8: np.ndarray, step_id: int):
         """Encode a history frame that was never seen at a model call

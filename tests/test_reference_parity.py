@@ -196,8 +196,19 @@ def stack():
     return cfg, params, tmodel
 
 
-def test_streaming_action_tokens_match_torch_reference(stack):
+@pytest.mark.parametrize("emit", [2, 3])
+def test_streaming_action_tokens_match_torch_reference(stack, emit):
+    """emit == num_future_steps (2) drives the aligned regime the
+    reference exercises in practice; emit == 3 desyncs model calls from
+    window boundaries so the first post-reset call is misaligned —
+    memory + history are injected from time_ids[0] (the reference's
+    history formula, streamvln_eval.py:315-318; its image stacking gate
+    at :313 would leave memory_features=None and crash the splice at
+    stream_video_vln.py:228-231, so the torch oracle here implements
+    the clause's intent) and never-encoded frames ride the backfill
+    path."""
     cfg, params, tmodel = stack
+    tmodel.reset()
     tok = ByteTokenizer()
     engine = StreamingEngine(
         params, cfg, n_envs=1, stop_ids=(tok.im_end_id,),
@@ -215,6 +226,7 @@ def test_streaming_action_tokens_match_torch_reference(stack):
     queue = []             # fake action queue: model runs when empty
     n_calls = 0
     n_memory_calls = 0
+    n_misaligned = 0
 
     for step in range(40):
         rgb = rng.integers(0, 255, (S, S, 3), dtype=np.uint8)
@@ -253,8 +265,12 @@ def test_streaming_action_tokens_match_torch_reference(stack):
         n_calls += 1
         if history:
             n_memory_calls += 1
-        queue.extend([1] * cfg.num_future_steps)
+            if step % cfg.num_frames != 0:
+                n_misaligned += 1
+        queue.extend([1] * emit)
         queue.pop(0)       # the call's step consumes the first action
 
-    assert n_calls >= 15
+    assert n_calls >= 10
     assert n_memory_calls >= 2   # >= 2 window boundaries w/ memory path
+    if emit != cfg.num_future_steps:
+        assert n_misaligned >= 2   # misaligned regime actually driven

@@ -173,3 +173,128 @@ def test_engine_rejects_oversized_prompt(setup):
     ids = np.asarray(tok.encode("x" * 100), np.int32)
     with pytest.raises(ValueError, match="exceeds largest bucket"):
         engine.generate(0, np.zeros((48, 64, 3), np.uint8), ids, step_id=0)
+
+
+def test_backfill_smoke_and_feature_parity(setup):
+    """backfill() must not crash (round-2 regression: fused_pre missing
+    from _encode_store's static_argnames made EVERY call raise
+    TracerBoolConversionError) and must store the exact features a
+    normal generate call would store for the same frame."""
+    cfg, params, tok = setup
+    rng = np.random.RandomState(5)
+    frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+
+    eng_bf = make_engine(cfg, params, tok)
+    eng_bf.backfill(0, frame, step_id=0)
+    assert eng_bf.envs[0].frame_slots == {0: 0}
+
+    eng_gen = make_engine(cfg, params, tok)
+    ids = _turn(tok, chatml.observation_prompt(None, "go"),
+                add_system=True)
+    eng_gen.generate(0, frame, ids, step_id=0)
+    slot = eng_gen.envs[0].frame_slots[0]
+    np.testing.assert_array_equal(
+        np.asarray(eng_bf.feat_cache[0, 0]),
+        np.asarray(eng_gen.feat_cache[0, slot]))
+
+
+def test_backfill_fused_pre_smoke(setup):
+    """The fused preprocess flavor of backfill compiles and runs."""
+    cfg, params, tok = setup
+    eng = make_engine(cfg, params, tok, fused_preprocess=True)
+    frame = np.zeros((48, 64, 3), np.uint8)
+    eng.backfill(0, frame, step_id=3)
+    assert eng.envs[0].frame_slots == {3: 0}
+
+
+@pytest.mark.parametrize("emit", [3, 5])
+def test_misaligned_window_backfill_parity(setup, emit):
+    """The LLM emitting != num_future_steps actions desyncs model calls
+    from window boundaries: the first post-reset call then lands at a
+    step not divisible by num_frames. The reference's intent (memory
+    clause whenever output_ids is None and step != 0,
+    streamvln_eval.py:295-297) is followed: history is injected from
+    time_ids[0] and frames that never saw a model call are backfilled.
+    Engine tokens must match a full-recompute naive dialogue that
+    re-encodes the history frames fresh."""
+    cfg, params, tok = setup
+    engine = make_engine(cfg, params, tok)
+    agent = VLNAgent(engine, tok)
+
+    backfills = []
+    orig_backfill = engine.backfill
+
+    def spy(env, frame_u8, step_id):
+        backfills.append(step_id)
+        return orig_backfill(env, frame_u8, step_id)
+    engine.backfill = spy
+
+    rng = np.random.RandomState(6)
+    frames = {}
+    naive = NaiveDialogue(cfg, params, tok, max_new=6)
+    queue = []
+    misaligned_memory_calls = 0
+    for step in range(4 * cfg.num_frames + 2):
+        frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        frames[step] = frame
+        if queue:
+            queue.pop(0)
+            agent.step(0, frame, run_model=False)
+            if (step + 1) % cfg.num_frames == 0:
+                naive = None        # window reset: fresh dialogue
+            continue
+        req = agent.prepare_model_step(0, frame, "find the chair")
+        env, f, turn_ids, step_id, history = req["request"]
+        assert step_id == step
+        if history and step % cfg.num_frames != 0:
+            misaligned_memory_calls += 1
+        got = engine.generate(env, f, turn_ids, step_id, history)
+        agent.finish_model_step(0)
+        if naive is None:
+            naive = NaiveDialogue(cfg, params, tok, max_new=6)
+        want = naive.generate(frame, turn_ids,
+                              [frames[s] for s in history])
+        assert got == want, f"step {step}: {got} != {want}"
+        queue = [1] * emit
+        queue.pop(0)
+
+    assert misaligned_memory_calls >= 2
+    assert backfills, "expected at least one backfilled history frame"
+
+
+def test_chunked_decode_matches_single_call(setup):
+    """Token-streaming chunk primitive: generate(budget 4) followed by
+    continue_decode() chunks must reproduce generate(budget 12)
+    token-for-token, and the dialogue state after the chunked stream
+    must support an identical next turn."""
+    cfg, params, tok = setup
+    eng_one = make_engine(cfg, params, tok, max_new_tokens=12)
+    eng_chunk = make_engine(cfg, params, tok, max_new_tokens=4)
+    rng = np.random.RandomState(9)
+    frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    ids = _turn(tok, chatml.observation_prompt(None, "turn left"),
+                add_system=True)
+
+    want = eng_one.generate(0, frame, ids, step_id=0)
+    got = eng_chunk.generate(0, frame, ids, step_id=0)
+    while len(got) < 12 and got[-1] != tok.im_end_id:
+        chunk = eng_chunk.continue_decode(0)
+        if not chunk:
+            break
+        got.extend(chunk)
+    assert got[:len(want)] == want, f"{got} != {want}"
+
+    # follow-up turn: bookkeeping (pending token, kv_length) after the
+    # chunked stream must leave the dialogue in the same state
+    frame2 = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    ids2 = _turn(tok, chatml.observation_prompt(None, ""),
+                 add_system=False)
+    if len(got) == len(want):
+        a = eng_one.generate(0, frame2, ids2, step_id=2)
+        b = eng_chunk.generate(0, frame2, ids2, step_id=2)
+        while len(b) < 12 and b[-1] != tok.im_end_id:
+            chunk = eng_chunk.continue_decode(0)
+            if not chunk:
+                break
+            b.extend(chunk)
+        assert b[:len(a)] == a, f"follow-up: {b} != {a}"
