@@ -26,6 +26,11 @@ def main(argv=None):
     p.add_argument("--num_frames", type=int, default=32)
     p.add_argument("--num_future_steps", type=int, default=4)
     p.add_argument("--num_history", type=int, default=8)
+    p.add_argument("--stream", action="store_true",
+                   help="print tokens as they decode (chunked via "
+                        "engine.continue_decode)")
+    p.add_argument("--stream_budget", type=int, default=64,
+                   help="total decode budget in --stream mode")
     args = p.parse_args(argv)
 
     from streamvln_tpu.eval_cli import build_agent
@@ -40,6 +45,27 @@ def main(argv=None):
         rgb = np.zeros((480, 640, 3), np.uint8)
 
     def one_turn(text):
+        if args.stream:
+            # chunked decode: print each partial as it lands
+            # (reference: the serve stack's generate_stream protocol)
+            from streamvln_tpu.data import chatml
+            eng = agent.engine
+            req = agent.prepare_model_step(0, rgb, text)
+            toks = eng.generate_batch([req["request"]])[0]
+            agent.finish_model_step(0)
+            stops = set(eng.stop_ids)
+            all_toks = list(toks)
+            print(agent.tok.decode(all_toks), end="", flush=True)
+            while (toks and len(all_toks) < args.stream_budget
+                   and all_toks[-1] not in stops):
+                toks = eng.continue_decode(0)
+                all_toks.extend(toks)
+                print(agent.tok.decode(toks), end="", flush=True)
+            print(flush=True)
+            actions = chatml.parse_actions(
+                agent.tok.decode(all_toks)) or [0]
+            print(json.dumps({"actions": actions}), flush=True)
+            return
         actions, gen_t, out = agent.step(0, rgb, text, run_model=True)
         print(json.dumps({"text": out, "actions": actions,
                           "generate_s": round(gen_t, 3)}), flush=True)

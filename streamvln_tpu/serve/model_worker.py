@@ -103,6 +103,49 @@ class ModelWorker:
             finally:
                 self.queue_length -= 1
 
+    def generate_stream(self, prompt: str,
+                        image_b64: Optional[str] = None,
+                        max_new_tokens: Optional[int] = None):
+        """Yield cumulative-text chunk dicts (reference protocol: each
+        chunk carries the full text so far,
+        llava/serve/model_worker.py:126-180 generate_stream). The
+        engine's decode loop is one fused device dispatch, so streaming
+        = a first generate() of up to engine.max_new tokens followed by
+        continue_decode() chunks until a stop token or the request
+        budget."""
+        with self.lock:
+            self.queue_length += 1
+            try:
+                if image_b64 is not None:
+                    from PIL import Image
+                    rgb = np.asarray(Image.open(io.BytesIO(
+                        base64.b64decode(image_b64))).convert("RGB"))
+                else:
+                    rgb = np.zeros((384, 384, 3), np.uint8)
+                self.agent.reset_memory(0)
+                eng = self.agent.engine
+                req = self.agent.prepare_model_step(0, rgb, prompt)
+                toks = eng.generate(*req["request"])
+                self.agent.finish_model_step(0)
+                stops = set(eng.stop_ids)
+                budget = int(max_new_tokens) if max_new_tokens \
+                    else 4 * eng.max_new
+                all_toks = list(toks)[:budget]
+                yield {"text": self.tok.decode(all_toks),
+                       "error_code": 0}
+                while (toks and len(all_toks) < budget
+                       and all_toks[-1] not in stops):
+                    toks = eng.continue_decode(0)
+                    all_toks.extend(toks)
+                    del all_toks[budget:]
+                    if toks:
+                        yield {"text": self.tok.decode(all_toks),
+                               "error_code": 0}
+            except Exception as e:  # noqa: BLE001 — report to client
+                yield {"text": "", "error_code": 1, "error": str(e)}
+            finally:
+                self.queue_length -= 1
+
 
 def make_handler(worker: ModelWorker):
     class Handler(BaseHTTPRequestHandler):
@@ -129,6 +172,24 @@ def make_handler(worker: ModelWorker):
                 self._reply(worker.generate(
                     data.get("prompt", ""), data.get("image_b64"),
                     data.get("max_new_tokens")))
+            elif self.path == "/worker_generate_stream":
+                # reference wire format: \0-delimited JSON chunks,
+                # cumulative text, close-delimited response
+                # (llava/serve/model_worker.py generate_stream)
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "application/octet-stream")
+                self.end_headers()
+                try:
+                    for chunk in worker.generate_stream(
+                            data.get("prompt", ""),
+                            data.get("image_b64"),
+                            data.get("max_new_tokens")):
+                        self.wfile.write(
+                            json.dumps(chunk).encode() + b"\0")
+                        self.wfile.flush()
+                except BrokenPipeError:
+                    pass
             else:
                 self._reply({"error": "unknown route"}, 404)
 

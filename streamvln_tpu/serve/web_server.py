@@ -75,11 +75,29 @@ async function send(){
       rd.onload=()=>res(rd.result.split(',')[1]);
       rd.readAsDataURL(f);});
   }
-  const r=await fetch('/api/chat',{method:'POST',
+  const el=document.getElementById('log');
+  const d=document.createElement('div');d.className='a';
+  d.textContent='assistant: ';el.appendChild(d);
+  const r=await fetch('/api/chat_stream',{method:'POST',
     body:JSON.stringify(body)});
-  const d=await r.json();
-  if(d.error_code) log('err','error: '+(d.error||d.error_code));
-  else log('a','assistant: '+(d.text||JSON.stringify(d.actions)));
+  const reader=r.body.getReader();
+  const dec=new TextDecoder();
+  let buf='';
+  while(true){
+    const {done,value}=await reader.read();
+    if(done)break;
+    buf+=dec.decode(value,{stream:true});
+    const parts=buf.split('\\0');
+    buf=parts.pop();
+    for(const p of parts){
+      if(!p)continue;
+      const c=JSON.parse(p);
+      if(c.error_code){d.className='err';
+        d.textContent='error: '+(c.error||c.error_code);}
+      else d.textContent='assistant: '+c.text;
+      el.scrollTop=el.scrollHeight;
+    }
+  }
   document.getElementById('prompt').value='';
 }
 document.getElementById('send').onclick=send;
@@ -127,6 +145,41 @@ def make_handler(controller_url: str):
                 if self.path == "/api/models":
                     self._reply(_post(controller_url + "/list_models",
                                       {}))
+                elif self.path == "/api/chat_stream":
+                    addr = _post(controller_url
+                                 + "/get_worker_address",
+                                 {"model": data.get("model", "")})
+                    worker = addr.get("address")
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.end_headers()
+                    if not worker:
+                        self.wfile.write(json.dumps(
+                            {"error_code": 2,
+                             "error": "no worker for model"}).encode()
+                            + b"\0")
+                        return
+                    req = urllib.request.Request(
+                        worker + "/worker_generate_stream",
+                        data=json.dumps({
+                            "prompt": data.get("prompt", ""),
+                            "image_b64": data.get("image_b64"),
+                            "max_new_tokens":
+                                data.get("max_new_tokens"),
+                        }).encode(),
+                        headers={"Content-Type": "application/json"})
+                    with urllib.request.urlopen(req,
+                                                timeout=600) as r:
+                        while True:
+                            # read1: forward each chunk as it arrives
+                            # instead of blocking for a full buffer
+                            piece = r.read1(4096) if hasattr(
+                                r, "read1") else r.read(4096)
+                            if not piece:
+                                break
+                            self.wfile.write(piece)
+                            self.wfile.flush()
                 elif self.path == "/api/chat":
                     addr = _post(controller_url
                                  + "/get_worker_address",

@@ -122,6 +122,16 @@ def test_web_server_proxies_chat(stack):
         missing = _post(web_url + "/api/chat", {"model": "nope",
                                                 "prompt": "x"})
         assert missing["error_code"] == 2
+        # streaming proxy: \0-delimited chunks pass through
+        req = urllib.request.Request(
+            web_url + "/api/chat_stream",
+            data=json.dumps({"model": "streamvln-tiny",
+                             "prompt": "walk on"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            parts = [p for p in r.read().split(b"\0") if p]
+        assert parts and all(
+            json.loads(p)["error_code"] == 0 for p in parts)
     finally:
         web_srv.shutdown()
 
@@ -187,3 +197,59 @@ def test_cli_interactive_reset_and_exit(capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "(dialogue reset)" in out
     assert '"actions"' in out
+
+
+def test_worker_generate_stream_chunks():
+    """Token-streaming serving (reference:
+    llava/serve/model_worker.py:126-180 generate_stream): >= 2 chunks
+    must arrive before completion, each carrying the cumulative text,
+    over both the generator API and the \\0-delimited HTTP route."""
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    # no stop ids + 2-token decode budget per dispatch -> the 6-token
+    # request deterministically streams as 3 chunks
+    engine = StreamingEngine(
+        params, cfg, stop_ids=(), compute_dtype=jnp.float32,
+        max_new_tokens=2, cache_capacity=2048, buckets=(512, 768))
+    agent = VLNAgent(engine, tok)
+    worker = ModelWorker(agent, tok, "stream-tiny")
+
+    chunks = list(worker.generate_stream("go forward",
+                                         max_new_tokens=6))
+    assert len(chunks) >= 2
+    texts = [c["text"] for c in chunks]
+    assert all(c["error_code"] == 0 for c in chunks)
+    # cumulative protocol: each chunk's text extends the previous
+    # (random tiny-vocab ids can decode to '', so growth need not be
+    # strict per chunk)
+    for a, b in zip(texts, texts[1:]):
+        assert b.startswith(a), (a, b)
+
+    srv = serve_worker(worker, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            url + "/worker_generate_stream",
+            data=json.dumps({"prompt": "go forward",
+                             "max_new_tokens": 6}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            # first chunk must be parseable before the response closes
+            buf = b""
+            first = None
+            while b"\0" not in buf:
+                piece = r.read(1)
+                assert piece, "stream closed before first chunk"
+                buf += piece
+            first = json.loads(buf.split(b"\0")[0])
+            assert first["error_code"] == 0
+            rest = r.read()
+        parts = [p for p in (buf + rest).split(b"\0") if p]
+        assert len(parts) >= 2
+        wire_texts = [json.loads(p)["text"] for p in parts]
+        assert wire_texts == texts[:len(wire_texts)] or \
+            len(wire_texts) >= 2   # same protocol, fresh dialogue
+    finally:
+        srv.shutdown()
