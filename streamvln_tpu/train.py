@@ -102,6 +102,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eval_episodes", type=int, default=4)
     p.add_argument("--export_hf", action="store_true",
                    help="also write an HF-format safetensors export")
+    p.add_argument("--prefetch_depth", type=int, default=2,
+                   help="batches prepared ahead by the background "
+                        "loader thread (0 = synchronous; reference "
+                        "overlaps via 8 DataLoader workers/rank, "
+                        "llava_trainer.py:304-356)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -267,17 +272,29 @@ def main(argv: Optional[List[str]] = None):
             evaluator = MidTrainingEvaluator(
                 cfg, tok, n_episodes=args.eval_episodes,
                 seed=args.seed)
+    # background prefetch: load+collate+upload the next batches while
+    # the device runs the current step (reference overlaps via
+    # DataLoader workers; llava_trainer.py:304-356)
+    from jax.sharding import NamedSharding
+    from streamvln_tpu.data.prefetch import BatchPrefetcher
+    bspec = NamedSharding(mesh, mesh_lib.batch_spec())
+
+    def make_batch(batch_idx):
+        samples = [dataset[i] for i in batch_idx]
+        batch = collate(samples, cfg, max_length=args.model_max_length)
+        batch = {k: v for k, v in batch.items()
+                 if k not in ("time_ids", "task_type")}
+        # upload from the worker thread so H2D overlaps compute; the
+        # step's own device_put then no-ops on already-placed arrays
+        return {k: jax.device_put(v, bspec) for k, v in batch.items()}
+
+    prefetcher = BatchPrefetcher(sampler, make_batch,
+                                 depth=args.prefetch_depth)
     step = start_step
     t_last = time.perf_counter()
-    while step < args.num_steps:
-        for batch_idx in sampler:
-            if step >= args.num_steps:
-                break
-            samples = [dataset[i] for i in batch_idx]
-            batch = collate(samples, cfg,
-                            max_length=args.model_max_length)
-            batch = {k: v for k, v in batch.items()
-                     if k not in ("time_ids", "task_type")}
+    try:
+        while step < args.num_steps:
+            batch = prefetcher.get()
             state, metrics = step_fn(state, batch)
             step += 1
             if proc0 and step % args.log_steps == 0:
@@ -301,6 +318,8 @@ def main(argv: Optional[List[str]] = None):
             if step % args.save_steps == 0:
                 ckpt.save_checkpoint(
                     os.path.join(args.output_dir, "ckpt"), state, step)
+    finally:
+        prefetcher.close()
 
     ckpt.save_checkpoint(os.path.join(args.output_dir, "ckpt"), state,
                          step, wait=True)
