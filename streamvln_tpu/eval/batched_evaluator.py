@@ -155,3 +155,9 @@ class BatchedVLNEvaluator:
                         f.write(json.dumps(res) + "\n")
                     start(slot)
         return results
+
+    def close(self):
+        """Shut down env slots (joins RemoteEnv worker processes)."""
+        for env in self.envs:
+            if hasattr(env, "close"):
+                env.close()

@@ -92,6 +92,12 @@ def main(argv=None):
     p.add_argument("--n_envs", type=int, default=1,
                    help=">1: batched multi-env eval (one model, N "
                         "parallel simulators per process)")
+    p.add_argument("--env_workers", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="host each env slot in its own worker process "
+                        "so all N simulators step concurrently while "
+                        "the chip decodes (default for --n_envs > 1; "
+                        "--no-env_workers steps them in-process)")
     p.add_argument("--rank", type=int,
                    default=int(os.environ.get("RANK", 0)))
     p.add_argument("--world_size", type=int,
@@ -107,21 +113,33 @@ def main(argv=None):
         n_envs=args.n_envs)
 
     if args.n_envs > 1:
+        import functools
+
         from streamvln_tpu.eval.batched_evaluator import (
             BatchedVLNEvaluator)
         env = make_env(args.env_backend, args.eval_split,
                        args.num_episodes, args.seed,
                        args.habitat_config_path)
         episodes = list(env.episodes)[args.rank::args.world_size]
+        if hasattr(env, "close"):
+            env.close()
 
-        def factory():
-            return make_env(args.env_backend, args.eval_split,
-                            args.num_episodes, args.seed,
-                            args.habitat_config_path)
+        factory = functools.partial(
+            make_env, args.env_backend, args.eval_split,
+            args.num_episodes, args.seed, args.habitat_config_path)
+        if args.env_workers:
+            # default deployed topology: each simulator in its own
+            # process, async-stepped while the chip decodes
+            # (eval/env_workers.py; SURVEY §7 hard part 5)
+            from streamvln_tpu.eval.env_workers import remote_env_factory
+            factory = remote_env_factory(factory)
         ev = BatchedVLNEvaluator(
             factory, agent, args.output_path,
             max_steps_per_episode=args.max_steps_per_episode)
-        results = ev.run(episodes)
+        try:
+            results = ev.run(episodes)
+        finally:
+            ev.close()
         n = max(len(results), 1)
         final = {
             "sucs_all": sum(r["success"] for r in results) / n,
@@ -130,6 +148,8 @@ def main(argv=None):
             "ones_all": sum(r["ne"] for r in results) / n,
             "length": len(results),
         }
+        if results and all("ndtw" in r for r in results):
+            final["ndtw_all"] = sum(r["ndtw"] for r in results) / n
         print(json.dumps(final))
         return final
 

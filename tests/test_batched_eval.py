@@ -90,3 +90,19 @@ def test_batched_eval_with_multiprocess_env_workers(tmp_path):
     assert len(results) == 3
     ids = sorted(r["episode_id"] for r in results)
     assert ids == sorted(e.episode_id for e in episodes)
+
+
+def test_eval_cli_batched_env_workers_default(tmp_path):
+    """eval_cli --n_envs > 1 defaults to the async multi-process env
+    worker topology (batched_evaluator + env_workers), the deployed
+    equivalent of the reference's torchrun x8 eval
+    (streamvln_eval.py:219)."""
+    from streamvln_tpu import eval_cli
+    final = eval_cli.main([
+        "--model_size", "tiny", "--env_backend", "fake",
+        "--num_episodes", "4", "--n_envs", "2",
+        "--max_steps_per_episode", "6",
+        "--output_path", str(tmp_path / "out")])
+    assert final["length"] == 4
+    lines = open(tmp_path / "out" / "result.json").read().splitlines()
+    assert len(lines) == 4
