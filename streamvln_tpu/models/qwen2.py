@@ -277,6 +277,15 @@ def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos,
         return fa.flash_attention(
             q, k, v, q_pos, k_pos,
             logits_soft_cap=cfg.attn_logits_soft_cap)
+    if attn_impl == "chunked" and bias is None and q.shape[1] >= 64:
+        # flash algorithm in plain XLA (O(block^2) memory): the
+        # long-context path where the Pallas kernel is unavailable —
+        # 32k-seq training on CPU CI, or kernel-rejected shapes
+        # (ops/attention.py chunked_attention)
+        from streamvln_tpu.ops.attention import chunked_attention
+        return chunked_attention(
+            q, k, v, q_pos, k_pos,
+            logits_soft_cap=cfg.attn_logits_soft_cap)
     mask = k_pos[:, None, :] <= q_pos[:, :, None]
     return dense_attention(q, k, v, mask,
                            logits_soft_cap=cfg.attn_logits_soft_cap,

@@ -98,6 +98,99 @@ def dense_attention_kvmajor(
     return out.reshape(B, Sq, Hq, D).astype(q.dtype)
 
 
+def chunked_attention(
+    q: jax.Array,            # [B, Sq, Hq, D]
+    k: jax.Array,            # [B, Sk, Hkv, D]
+    v: jax.Array,            # [B, Sk, Hkv, D]
+    q_pos: jax.Array,        # [B, Sq] global query positions
+    k_pos: jax.Array,        # [B, Sk] key positions (invalid = huge)
+    scale: Optional[float] = None,
+    logits_soft_cap: Optional[float] = None,
+    q_block: int = 2048,
+    k_block: int = 8192,
+) -> jax.Array:
+    """Flash-attention algorithm in plain XLA: lax.scan over query
+    blocks, inner scan over key blocks with online softmax. Peak memory
+    is O(q_block * k_block) per head group instead of O(Sq * Sk), so
+    32k-context training fits where the dense path would materialize a
+    4 GB score tensor per head. Visibility rule identical to
+    dense_attention: key j visible to query i iff k_pos[j] <= q_pos[i]
+    (invalid keys carry INVALID_POS). Numerics: fp32 accumulation;
+    equal to dense up to fp32 summation-order rounding.
+
+    Used as the long-context fallback where the Pallas flash kernel is
+    unavailable (CPU CI; shapes the kernel rejects). The reference's
+    equivalent capability is flash-attn 2's 32k training path
+    (scripts/streamvln_train_slurm.sh:68, args.py:128). Default blocks
+    are sized for few scan iterations (CPU dispatch overhead dominates
+    small blocks); shrink them if the per-block score tensor
+    (q_block * k_block * heads * 4B) presses on device memory.
+    """
+    B, Sq, Hq, D = q.shape
+    _, Sk, Hkv, _ = k.shape
+    assert Hq % Hkv == 0, (Hq, Hkv)
+    G = Hq // Hkv
+    if scale is None:
+        scale = D ** -0.5
+
+    pad_q = (-Sq) % q_block
+    pad_k = (-Sk) % k_block
+    qf = jnp.pad(q.astype(jnp.float32), ((0, 0), (0, pad_q), (0, 0),
+                                         (0, 0)))
+    kf = jnp.pad(k.astype(jnp.float32), ((0, 0), (0, pad_k), (0, 0),
+                                         (0, 0)))
+    vf = jnp.pad(v.astype(jnp.float32), ((0, 0), (0, pad_k), (0, 0),
+                                         (0, 0)))
+    # padded queries see nothing real (pos -1 < all real k_pos >= 0 ...
+    # actually -1 admits no keys since k_pos >= 0); padded keys are
+    # invisible to everyone (INVALID_POS)
+    qp = jnp.pad(q_pos, ((0, 0), (0, pad_q)), constant_values=-1)
+    kp = jnp.pad(k_pos, ((0, 0), (0, pad_k)),
+                 constant_values=jnp.int32(1 << 30))
+    nq, nk = (Sq + pad_q) // q_block, (Sk + pad_k) // k_block
+
+    # [nq, B, q_block, Hkv, G, D] query blocks; K/V stay whole
+    qb = qf.reshape(B, nq, q_block, Hkv, G, D).transpose(1, 0, 2, 3, 4, 5)
+    qpb = qp.reshape(B, nq, q_block).transpose(1, 0, 2)
+    kb = kf.reshape(B, nk, k_block, Hkv, D).transpose(1, 0, 2, 3, 4)
+    vb = vf.reshape(B, nk, k_block, Hkv, D).transpose(1, 0, 2, 3, 4)
+    kpb = kp.reshape(B, nk, k_block).transpose(1, 0, 2)
+
+    def per_q_block(_, qblk):
+        qi, qpi = qblk        # [B, q_block, Hkv, G, D], [B, q_block]
+
+        def per_k_block(carry, kblk):
+            m, l, acc = carry
+            ki, vi, kpi = kblk
+            logits = jnp.einsum("bqhgd,bkhd->bhgqk", qi, ki) * scale
+            if logits_soft_cap is not None:
+                logits = jnp.tanh(logits / logits_soft_cap) \
+                    * logits_soft_cap
+            mask = kpi[:, None, :] <= qpi[:, :, None]   # [B, q, k]
+            logits = jnp.where(mask[:, None, None, :, :], logits,
+                               NEG_INF)
+            m_new = jnp.maximum(m, logits.max(axis=-1))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(logits - m_new[..., None])
+            l_new = l * alpha + p.sum(axis=-1)
+            acc_new = acc * alpha[..., None] + jnp.einsum(
+                "bhgqk,bkhd->bhgqd", p, vi)
+            return (m_new, l_new, acc_new), None
+
+        m0 = jnp.full((B, Hkv, G, q_block), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((B, Hkv, G, q_block), jnp.float32)
+        a0 = jnp.zeros((B, Hkv, G, q_block, D), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(per_k_block, (m0, l0, a0),
+                                      (kb, vb, kpb))
+        out = acc / jnp.maximum(l, 1e-30)[..., None]
+        return None, out.transpose(0, 3, 1, 2, 4)  # [B, q_block, Hkv, G, D]
+
+    _, outs = jax.lax.scan(per_q_block, None, (qb, qpb))
+    out = outs.transpose(1, 0, 2, 3, 4, 5).reshape(
+        B, Sq + pad_q, Hq, D)[:, :Sq]
+    return out.astype(q.dtype)
+
+
 def make_causal_mask(
     q_positions: jax.Array,   # [B, Sq] global positions of queries
     k_positions: jax.Array,   # [Sk] or [B, Sk] global positions of keys
