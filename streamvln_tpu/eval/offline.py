@@ -19,7 +19,8 @@ import numpy as np
 
 def run_offline_eval(agent, entries: List[dict], media_root: str,
                      output_path: str, num_frames_qa: int = 8,
-                     max_entries: Optional[int] = None) -> List[dict]:
+                     max_entries: Optional[int] = None,
+                     image_aspect_ratio: str = "square") -> List[dict]:
     from streamvln_tpu.data import chatml
     from streamvln_tpu.data.cotrain_datasets import ConversationDataset
 
@@ -42,13 +43,19 @@ def run_offline_eval(agent, entries: List[dict], media_root: str,
                 "")
             question_clean = question.replace("<image>", "").strip()
 
-            agent.reset_memory(0)
-            # feed frames as dialogue turns: all but last are context
-            for frame in frames[:-1]:
-                agent.step(0, frame, question_clean, run_model=False)
             t0 = time.perf_counter()
-            actions, _, text = agent.step(0, frames[-1], question_clean,
-                                          run_model=True)
+            if image_aspect_ratio == "anyres" and len(frames) == 1:
+                # single-image anyres path: tiled encode + unpad/newline
+                # merge (models/anyres.py; reference:
+                # llava_arch.py:317-408 with --image_aspect_ratio anyres)
+                text = _answer_anyres(agent, frames[0], question_clean)
+            else:
+                agent.reset_memory(0)
+                # feed frames as dialogue turns: all but last are context
+                for frame in frames[:-1]:
+                    agent.step(0, frame, question_clean, run_model=False)
+                _, _, text = agent.step(0, frames[-1], question_clean,
+                                        run_model=True)
             rec = {
                 "question_id": entry.get("id", i),
                 "prompt": question_clean,
@@ -60,6 +67,22 @@ def run_offline_eval(agent, entries: List[dict], media_root: str,
     return answers
 
 
+def _answer_anyres(agent, image: np.ndarray, question: str) -> str:
+    from streamvln_tpu.data import chatml
+    from streamvln_tpu.models import anyres
+
+    ids, _ = chatml.tokenize_dialogue(
+        agent.tok, [("user", "<image>\n" + question)], add_system=True,
+        with_labels=False)
+    ids = np.concatenate([ids, np.asarray(
+        chatml.generation_prompt(agent.tok), np.int32)])
+    toks = anyres.generate_anyres(
+        agent.engine.params, agent.cfg, agent.tok, image, ids,
+        max_new=agent.engine.max_new,
+        stop_ids=agent.engine.stop_ids)
+    return agent.tok.decode(toks)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", default=None)
@@ -69,6 +92,10 @@ def main(argv=None):
     p.add_argument("--answers_file", default="answers.jsonl")
     p.add_argument("--num_frames_qa", type=int, default=8)
     p.add_argument("--max_entries", type=int, default=None)
+    p.add_argument("--image_aspect_ratio", default="square",
+                   choices=["square", "anyres"],
+                   help="anyres: single images go through the tiled "
+                        "encode + spatial_unpad merge")
     args = p.parse_args(argv)
 
     from streamvln_tpu.eval_cli import build_agent
@@ -78,7 +105,8 @@ def main(argv=None):
             else [json.loads(l) for l in f]
     answers = run_offline_eval(agent, entries, args.media_root,
                                args.answers_file, args.num_frames_qa,
-                               args.max_entries)
+                               args.max_entries,
+                               image_aspect_ratio=args.image_aspect_ratio)
     print(json.dumps({"answered": len(answers)}))
 
 

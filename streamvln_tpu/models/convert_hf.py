@@ -257,7 +257,7 @@ def convert_streamvln(state: Dict[str, Array], cfg: StreamVLNConfig,
     LLM under 'model.', tower under
     'model.vision_tower.vision_tower.vision_model.', projector under
     'model.mm_projector.'."""
-    return {
+    out = {
         "llm": convert_qwen2(state, cfg.llm, prefix="model.", dtype=dtype),
         "vision": convert_siglip(
             state, cfg.vision,
@@ -267,6 +267,16 @@ def convert_streamvln(state: Dict[str, Array], cfg: StreamVLNConfig,
             state, cfg.projector_type, prefix="model.mm_projector.",
             dtype=dtype),
     }
+    # anyres row separator (llava_arch.py:109); absent in checkpoints
+    # saved without the spatial_unpad merge — zeros keep the merge a
+    # no-op-safe capability there
+    if "model.image_newline" in state:
+        out["image_newline"] = jnp.asarray(
+            np.asarray(state["model.image_newline"]), dtype)
+    else:
+        out["image_newline"] = jnp.zeros(
+            (cfg.llm.hidden_size,), dtype)
+    return out
 
 
 def _to_device(tree, dtype):

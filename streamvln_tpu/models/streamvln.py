@@ -36,13 +36,18 @@ Params = dict
 
 
 def init(rng: jax.Array, cfg: StreamVLNConfig, dtype=jnp.float32) -> Params:
-    k1, k2, k3 = jax.random.split(rng, 3)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
     return {
         "vision": siglip.init(k1, cfg.vision, dtype),
         "projector": projector_lib.init(
             k2, cfg.projector_type, cfg.vision.hidden_size,
             cfg.llm.hidden_size, dtype),
         "llm": qwen2.init(k3, cfg.llm, dtype),
+        # learned row separator for the anyres spatial merge
+        # (reference: llava_arch.py:109 image_newline, randn * embed_std)
+        "image_newline": (jax.random.normal(
+            k4, (cfg.llm.hidden_size,), dtype)
+            * (cfg.llm.hidden_size ** -0.5)),
     }
 
 
@@ -126,6 +131,7 @@ def build_splice_layout(
     pad_to: Optional[int] = None,
     frame_offset: int = 0,
     max_frames: Optional[int] = None,
+    image_token_counts: Optional[list] = None,
 ) -> SpliceLayout:
     """Expand sentinel ids into per-position layout.
 
@@ -136,6 +142,12 @@ def build_splice_layout(
     <image>, which matches prompt construction). `frame_offset` shifts
     vision_index by whole frames (used by the streaming engine when the
     current call's image batch is only a suffix of the episode's frames).
+
+    `image_token_counts`: per-<image> custom expansion widths, in
+    sentinel order — the anyres path, where each image contributes a
+    host-computed variable token count (thumbnail + unpadded tile grid
+    + newline column; models/anyres.py; reference:
+    llava/model/llava_arch.py:317-408).
     """
     input_ids = np.asarray(input_ids, np.int32)
     if labels is None:
@@ -145,9 +157,14 @@ def build_splice_layout(
 
     out_ids, out_vis, out_vidx, out_labels = [], [], [], []
     vis_cursor = frame_offset * tpf
+    img_i = 0
     for tok, lab in zip(input_ids.tolist(), labels.tolist()):
         if tok == IMAGE_TOKEN_INDEX:
-            n = tpf
+            if image_token_counts is not None:
+                n = int(image_token_counts[img_i])
+                img_i += 1
+            else:
+                n = tpf
         elif tok == MEMORY_TOKEN_INDEX:
             n = mem_tokens
         else:

@@ -94,6 +94,8 @@ def export_hf(params: dict, cfg) -> dict:
     def put(name, arr):
         out[name] = np.asarray(jax.device_get(arr), np.float32)
 
+    if "image_newline" in params:
+        put("model.image_newline", params["image_newline"])
     llm = params["llm"]
     put("model.embed_tokens.weight", llm["embed"])
     put("model.norm.weight", llm["final_norm"])
