@@ -105,6 +105,14 @@ class RemoteEnv:
         self._call("set_episode", ep)
 
     def close(self):
+        # an evaluator error between step_async and step_wait leaves a
+        # reply in flight; drain it so close() doesn't trip the
+        # no-pending assert and mask the original exception
+        if self._pending:
+            try:
+                self.step_wait()
+            except (BrokenPipeError, EOFError):
+                self._pending = False
         try:
             self._call("close")
         except (BrokenPipeError, EOFError):

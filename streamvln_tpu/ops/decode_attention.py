@@ -131,8 +131,8 @@ def decode_attention(
         in_specs=[
             pl.BlockSpec((1, 1, G_pad, D), lambda b, h, L: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, G_pad, D),
                                lambda b, h, L: (b, h, 0, 0),

@@ -122,7 +122,7 @@ def make_ring_attention(mesh: Mesh, axis_name: str = "fsdp",
     sequence so every device holds one early and one late chunk —
     since masking is position-based, this is a pure permutation with
     identical results and balanced causal work."""
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     spec_qkv = P(None, axis_name, None, None)
     spec_pos = P(None, axis_name)

@@ -118,8 +118,13 @@ class BatchedWorker:
                     if pend.max_new is not None:
                         toks = toks[:int(pend.max_new)]
                     text = self.tok.decode(toks)
+                    # echo the engine's compiled decode ceiling so
+                    # clients can tell when a larger request budget was
+                    # silently capped (ADVICE r2)
                     pend.result = {"text": text, "error_code": 0,
-                                   "batch_size": len(wave)}
+                                   "batch_size": len(wave),
+                                   "max_new_tokens_cap":
+                                       self.engine.max_new}
                     pend.done.set()
             except Exception as e:  # noqa: BLE001 — report to clients
                 for pend in wave:
@@ -160,7 +165,7 @@ def make_handler(worker: BatchedWorker):
     return Handler
 
 
-def serve_batch_worker(worker: BatchedWorker, host="0.0.0.0",
+def serve_batch_worker(worker: BatchedWorker, host="127.0.0.1",
                        port=21003):
     return ThreadingHTTPServer((host, port), make_handler(worker))
 
@@ -171,7 +176,10 @@ def main(argv=None):
     ap.add_argument("--model_size", default="7b")
     ap.add_argument("--model-name", default="streamvln-tpu-batched")
     ap.add_argument("--n-envs", type=int, default=8)
-    ap.add_argument("--host", default="0.0.0.0")
+    # loopback by default: unauthenticated endpoint that decodes
+    # client-supplied base64 images — expose deliberately with
+    # --host 0.0.0.0 behind a trusted network only
+    ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=21003)
     args = ap.parse_args(argv)
 
