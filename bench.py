@@ -179,6 +179,64 @@ def main():
             "calls": len(lat),
         }
 
+    def measure_eval_loop(n_envs):
+        """Full eval-LOOP throughput: batched evaluator over n_envs
+        multi-process FakeNavEnv workers with a habitat-like 20 ms
+        host step and 640x480 frames — sim stepping overlaps device
+        decode (eval/batched_evaluator.py + eval/env_workers.py;
+        reference topology: streamvln_eval.py:219 torchrun x8)."""
+        import functools
+        import tempfile
+
+        from streamvln_tpu.agent import VLNAgent
+        from streamvln_tpu.eval.batched_evaluator import (
+            BatchedVLNEvaluator)
+        from streamvln_tpu.eval.env_workers import remote_env_factory
+        from streamvln_tpu.eval.fake_env import FakeNavEnv, make_episodes
+        from streamvln_tpu.utils.constants import MEMORY_PROMPT_EVAL
+
+        engine = StreamingEngine(
+            params, cfg, n_envs=n_envs, cache_capacity=4096,
+            feat_slots=40, max_new_tokens=max_new,
+            stop_ids=(tok.im_end_id,), compute_dtype=dtype,
+            buckets=(256, 512, 768, 1024, 2304, 2560, 3072),
+            fused_preprocess=os.environ.get("BENCH_FUSED_PRE") == "1")
+        agent = VLNAgent(engine, tok, memory_prompt=MEMORY_PROMPT_EVAL)
+        factory = remote_env_factory(functools.partial(
+            FakeNavEnv, [], max_episode_steps=500,
+            rgb_shape=(480, 640, 3), step_time_s=0.02))
+        max_steps = 2 * nf
+        # random bench weights decode to STOP on call one, which would
+        # measure episode turnover instead of streaming throughput —
+        # force the trained model's steady cadence (num_future_steps
+        # actions per call, streamvln_eval.py:338-341) for the loop
+        from streamvln_tpu.data import chatml as chatml_mod
+        orig_parse = chatml_mod.parse_actions
+        chatml_mod.parse_actions = lambda text: [1] * nfs
+        with tempfile.TemporaryDirectory() as tmp:
+            ev = BatchedVLNEvaluator(factory, agent, tmp,
+                                     max_steps_per_episode=max_steps)
+            try:
+                ev.run(make_episodes(n_envs, seed=1))   # warm/compile
+                for e in range(n_envs):
+                    agent.reset_memory(e)
+                episodes = make_episodes(2 * n_envs, seed=2)
+                t0 = time.perf_counter()
+                results = ev.run(episodes)
+                wall = time.perf_counter() - t0
+            finally:
+                chatml_mod.parse_actions = orig_parse
+                ev.close()
+        total_steps = sum(r["steps"] for r in results)
+        return {
+            "n_envs": n_envs,
+            "sim_step_ms": 20,
+            "episodes": len(results),
+            "env_steps": total_steps,
+            "hz": round(total_steps / wall, 3),
+            "wall_s": round(wall, 2),
+        }
+
     runs = [measure(n) for n in env_counts]
     head = runs[0]
     result = {
@@ -196,6 +254,11 @@ def main():
     }
     if len(runs) > 1:
         result["batched"] = runs[1:]
+    eval_loop = os.environ.get("BENCH_EVAL_LOOP",
+                               "1" if backend == "tpu" else "0")
+    if eval_loop == "1":
+        result["eval_loop"] = measure_eval_loop(
+            int(os.environ.get("BENCH_EVAL_ENVS", "8")))
     print(json.dumps(result))
 
 

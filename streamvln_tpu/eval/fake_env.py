@@ -64,10 +64,14 @@ class FakeNavEnv:
 
     def __init__(self, episodes: List[FakeEpisode],
                  max_episode_steps: int = 500,
-                 rgb_shape=(480, 640, 3)):
+                 rgb_shape=(480, 640, 3),
+                 step_time_s: float = 0.0):
         self.episodes = episodes
         self.max_episode_steps = max_episode_steps
         self.rgb_shape = rgb_shape
+        # simulate habitat's host-side C++ step cost (10-30 ms; SURVEY
+        # §7 hard part 5) for overlap benchmarks
+        self.step_time_s = step_time_s
         self.current_episode: Optional[FakeEpisode] = None
         self._tracker: Optional[EpisodeTracker] = None
         self._pose = np.zeros(3)
@@ -94,6 +98,9 @@ class FakeNavEnv:
 
     def step(self, action: int) -> Dict[str, np.ndarray]:
         assert not self._over, "step() after episode end"
+        if self.step_time_s:
+            import time
+            time.sleep(self.step_time_s)
         if action == 0:
             self._over = True
             self._tracker.update(self._pose[:2], stop_called=True)
