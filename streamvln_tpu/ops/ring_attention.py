@@ -130,7 +130,7 @@ def make_ring_attention(mesh: Mesh, axis_name: str = "fsdp",
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_pos, spec_pos),
-        out_specs=spec_qkv, check_rep=False)
+        out_specs=spec_qkv, check_vma=False)
     def fn(q, k, v, q_pos, k_pos):
         return ring_attention(q, k, v, q_pos, k_pos, axis_name)
 
