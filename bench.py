@@ -51,7 +51,7 @@ def main():
 
     if model_name == "qwen2-7b":
         cfg = configs.streamvln_7b()
-    elif model_name == "qwen2-7b-int8":
+    elif model_name in ("qwen2-7b-int8", "qwen2-7b-int4"):
         cfg = configs.streamvln_7b()
     elif model_name == "qwen2-1.5b":
         cfg = configs.StreamVLNConfig(vision=configs.siglip_so400m(),
@@ -77,7 +77,7 @@ def main():
         cfg = dataclasses.replace(
             cfg, llm=dataclasses.replace(cfg.llm, act_int8=True))
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
-    if model_name.endswith("-int8"):
+    if model_name.endswith(("-int8", "-int4")):
         from streamvln_tpu.models import projector as proj_lib
         from streamvln_tpu.models import quant, siglip
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
@@ -86,7 +86,9 @@ def main():
             "projector": proj_lib.init(
                 k2, cfg.projector_type, cfg.vision.hidden_size,
                 cfg.llm.hidden_size, dtype),
-            "llm": quant.init_quantized_llm(k3, cfg.llm, dtype),
+            "llm": quant.init_quantized_llm(
+                k3, cfg.llm, dtype,
+                bits=4 if model_name.endswith("-int4") else 8),
         }
     else:
         params = streamvln.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
@@ -202,9 +204,16 @@ def main():
             buckets=(256, 512, 768, 1024, 2304, 2560, 3072),
             fused_preprocess=os.environ.get("BENCH_FUSED_PRE") == "1")
         agent = VLNAgent(engine, tok, memory_prompt=MEMORY_PROMPT_EVAL)
-        factory = remote_env_factory(functools.partial(
-            FakeNavEnv, [], max_episode_steps=500,
-            rgb_shape=(480, 640, 3), step_time_s=0.02))
+        from streamvln_tpu.eval.env_workers import resize_rgb_transform
+        # frames resize PIL-exactly inside the worker process (the
+        # reference resizes host-side too), so pipes and the
+        # host->device link carry compact 384^2 uint8
+        factory = remote_env_factory(
+            functools.partial(
+                FakeNavEnv, [], max_episode_steps=500,
+                rgb_shape=(480, 640, 3), step_time_s=0.02),
+            obs_transform=(resize_rgb_transform(cfg.vision.image_size)
+                           if presized else None))
         max_steps = 2 * nf
         # random bench weights decode to STOP on call one, which would
         # measure episode turnover instead of streaming throughput —

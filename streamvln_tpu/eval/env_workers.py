@@ -20,15 +20,16 @@ import multiprocessing as mp
 from typing import Callable, List
 
 
-def _worker_loop(env_factory, conn):
+def _worker_loop(env_factory, conn, obs_transform=None):
     env = env_factory()
+    tf = obs_transform or (lambda obs: obs)
     try:
         while True:
             cmd, arg = conn.recv()
             if cmd == "reset":
-                conn.send(env.reset())
+                conn.send(tf(env.reset()))
             elif cmd == "step":
-                conn.send(env.step(arg))
+                conn.send(tf(env.step(arg)))
             elif cmd == "episode_over":
                 conn.send(env.episode_over)
             elif cmd == "get_metrics":
@@ -55,14 +56,19 @@ class RemoteEnv:
     """
 
     def __init__(self, env_factory: Callable[[], object],
-                 ctx=None):
+                 ctx=None, obs_transform=None):
         # spawn, not fork: the evaluator process owns a live JAX/TPU
         # client (threads + locks that are not fork-safe); spawned
-        # workers start clean. env_factory must be picklable.
+        # workers start clean. env_factory (and obs_transform) must be
+        # picklable. obs_transform runs INSIDE the worker on every
+        # observation — e.g. host-side frame resize, so raw 640x480
+        # frames never cross the pipe (the reference resizes host-side
+        # too: SigLipImageProcessor in the eval loop).
         ctx = ctx or mp.get_context("spawn")
         self._conn, child = ctx.Pipe()
         self._proc = ctx.Process(target=_worker_loop,
-                                 args=(env_factory, child),
+                                 args=(env_factory, child,
+                                       obs_transform),
                                  daemon=True)
         self._proc.start()
         child.close()
@@ -123,9 +129,40 @@ class RemoteEnv:
 
 
 def remote_env_factory(
-        env_factory: Callable[[], object]) -> Callable[[], RemoteEnv]:
+        env_factory: Callable[[], object],
+        obs_transform=None) -> Callable[[], RemoteEnv]:
     """Wrap a (picklable) env factory so each call spawns a worker
     process: `BatchedVLNEvaluator(remote_env_factory(make_env), ...)`
-    hosts every slot's simulator out-of-process."""
+    hosts every slot's simulator out-of-process. obs_transform (also
+    picklable) post-processes observations worker-side."""
     ctx = mp.get_context("spawn")
-    return lambda: RemoteEnv(env_factory, ctx)
+    return lambda: RemoteEnv(env_factory, ctx, obs_transform)
+
+
+def resize_rgb_transform(size: int):
+    """Picklable worker-side obs transform: PIL-exact native resize of
+    obs['rgb'] to [size, size, 3] (native/dataloader.cpp), so pipes and
+    the host->device link carry compact frames."""
+    return _ResizeRGB(size)
+
+
+class _ResizeRGB:
+    def __init__(self, size: int):
+        self.size = size
+
+    def __call__(self, obs):
+        if isinstance(obs, dict) and "rgb" in obs:
+            rgb = obs["rgb"]
+            if rgb.shape[0] != self.size or rgb.shape[1] != self.size:
+                try:
+                    from streamvln_tpu import native as native_lib
+                    obs = dict(obs)
+                    obs["rgb"] = native_lib.resize_batch_u8(
+                        rgb[None], self.size)[0]
+                except Exception:
+                    from PIL import Image
+                    import numpy as _np
+                    obs = dict(obs)
+                    obs["rgb"] = _np.asarray(Image.fromarray(rgb).resize(
+                        (self.size, self.size), Image.BICUBIC), _np.uint8)
+        return obs

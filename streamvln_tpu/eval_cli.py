@@ -130,9 +130,16 @@ def main(argv=None):
         if args.env_workers:
             # default deployed topology: each simulator in its own
             # process, async-stepped while the chip decodes
-            # (eval/env_workers.py; SURVEY §7 hard part 5)
-            from streamvln_tpu.eval.env_workers import remote_env_factory
-            factory = remote_env_factory(factory)
+            # (eval/env_workers.py; SURVEY §7 hard part 5). Frames are
+            # resized worker-side (PIL-exact) so pipes and the
+            # host->device link carry compact uploads — the reference
+            # resizes host-side too (SigLipImageProcessor).
+            from streamvln_tpu.eval.env_workers import (
+                remote_env_factory, resize_rgb_transform)
+            factory = remote_env_factory(
+                factory,
+                obs_transform=resize_rgb_transform(
+                    agent.cfg.vision.image_size))
         ev = BatchedVLNEvaluator(
             factory, agent, args.output_path,
             max_steps_per_episode=args.max_steps_per_episode)

@@ -90,28 +90,70 @@ def _int8_dot_bwd(res, g):
 _int8_dot.defvjp(_int8_dot_fwd, _int8_dot_bwd)
 
 
+INT4_GROUP = 128
+
+
+def quantize_weight_int4(w: jax.Array, group: int = INT4_GROUP
+                         ) -> tuple[jax.Array, jax.Array]:
+    """[..., din, dout] -> (int4 values, f32 scales
+    [..., din/group, dout]). Group-wise symmetric over the contraction
+    dim: per-output-channel scales lose too much at 15 levels, and
+    group scales keep the HBM read at ~0.5 B/weight + scales/group.
+
+    Why int4 at all: bs=1 decode is weight-bandwidth-bound (PARITY
+    round-2 roofline) — int4 halves the bytes per decoded token vs
+    int8, the remaining headline lever on a single chip. The reference
+    ships the same capability through bitsandbytes 4-bit
+    (streamvln_train.py:1564-1600, --bits 4)."""
+    *lead, din, dout = w.shape
+    g = group if din % group == 0 else din
+    wf = w.astype(jnp.float32).reshape(*lead, din // g, g, dout)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int4)
+    return (q.reshape(*lead, din, dout),
+            scale[..., 0, :].astype(jnp.float32))
+
+
+def dequant_int4(w: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    """int4 [..., din, dout] * group scales [..., G, dout] -> dtype.
+    XLA streams the int4->dtype convert + group-broadcast multiply into
+    the consuming dot; HBM traffic stays at the int4 footprint."""
+    *lead, din, dout = w.shape
+    G = scale.shape[-2]
+    g = din // G
+    wf = w.astype(dtype).reshape(*lead, G, g, dout)
+    wf = wf * scale[..., :, None, :].astype(dtype)
+    return wf.reshape(*lead, din, dout)
+
+
 def quantize_llm(params: dict,
                  targets: Sequence[str] = QUANT_TARGETS,
-                 quantize_embed: bool = False) -> dict:
+                 quantize_embed: bool = False,
+                 bits: int = 8) -> dict:
     """Quantize the LLM layer-stack projections (and optionally lm_head /
-    embed). Returns a new params tree with `<name>` as int8 and
-    `<name>_scale` alongside."""
+    embed). Returns a new params tree with `<name>` as int8 (bits=8,
+    per-output-channel) or int4 (bits=4, group-wise) and
+    `<name>_scale` alongside. The embed stays int8 in both modes
+    (rows are gathered, not matmul'd)."""
+    assert bits in (4, 8), bits
+    qfn = quantize_weight if bits == 8 else quantize_weight_int4
     llm = dict(params["llm"])
     layers = dict(llm["layers"])
     for name in targets:
         if name not in layers:
             continue           # family variants (MoE drops gate_w/up_w)
-        q, scale = quantize_weight(layers[name])
+        q, scale = qfn(layers[name])
         layers[name] = q
         layers[name + "_scale"] = scale
     for name in MOE_QUANT_TARGETS:
         if name in layers:
-            q, scale = quantize_weight(layers[name])
+            q, scale = qfn(layers[name])
             layers[name] = q
             layers[name + "_scale"] = scale
     llm["layers"] = layers
     if "lm_head" in llm:
-        q, scale = quantize_weight(llm["lm_head"])
+        q, scale = qfn(llm["lm_head"])
         llm["lm_head"] = q
         llm["lm_head_scale"] = scale
     if quantize_embed:
@@ -128,13 +170,16 @@ def quantize_llm(params: dict,
 
 
 def init_quantized_llm(rng: jax.Array, cfg, compute_dtype=jnp.bfloat16,
-                       quantize_embed: bool = True) -> dict:
-    """Random-init the LLM directly into int8 (layer-by-layer, so peak
-    transient memory is one unstacked weight — lets the 7B stack be
-    built on a 16 GB chip)."""
+                       quantize_embed: bool = True,
+                       bits: int = 8) -> dict:
+    """Random-init the LLM directly into int8/int4 (layer-by-layer, so
+    peak transient memory is one unstacked weight — lets the 7B stack
+    be built on a 16 GB chip)."""
     import numpy as np
     from streamvln_tpu.configs import Qwen2Config  # noqa: F401
 
+    assert bits in (4, 8), bits
+    qfn = quantize_weight if bits == 8 else quantize_weight_int4
     L, Dm, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
     Hq, Hkv, Dh, V = (cfg.num_heads, cfg.num_kv_heads, cfg.head_dim,
                       cfg.vocab_size)
@@ -144,7 +189,7 @@ def init_quantized_llm(rng: jax.Array, cfg, compute_dtype=jnp.bfloat16,
         def one(k):
             w = jax.random.normal(k, shape[1:], jnp.float32) \
                 * (fan_in ** -0.5)
-            return quantize_weight(w)
+            return qfn(w)
         qs, scales = [], []
         keys = jax.random.split(key, shape[0])
         for i in range(shape[0]):
@@ -192,7 +237,7 @@ def init_quantized_llm(rng: jax.Array, cfg, compute_dtype=jnp.bfloat16,
     del emb
     if not cfg.tie_word_embeddings:
         head = emb_fp(keys[9]).T
-        q, s = quantize_weight(head)
+        q, s = qfn(head)
         params["lm_head"] = q
         params["lm_head_scale"] = s
     return params
@@ -210,6 +255,9 @@ def dequantize_llm(params: dict, dtype=jnp.float32) -> dict:
             if getattr(w, "dtype", None) == jnp.int8:
                 scale = group[name + "_scale"].astype(dtype)
                 out[name] = w.astype(dtype) * scale
+            elif getattr(w, "dtype", None) == jnp.int4:
+                out[name] = dequant_int4(w, group[name + "_scale"],
+                                         dtype)
             else:
                 out[name] = w
         return out
@@ -222,10 +270,12 @@ def dequantize_llm(params: dict, dtype=jnp.float32) -> dict:
 
 
 def maybe_dequant(p: dict, name: str, compute_dtype=jnp.bfloat16):
-    """Weight leaf for matmul: int8 -> scaled compute dtype (fused by
-    XLA into the consuming dot), other dtypes pass through."""
+    """Weight leaf for matmul: int8/int4 -> scaled compute dtype (fused
+    by XLA into the consuming dot), other dtypes pass through."""
     w = p[name]
     if w.dtype == jnp.int8:
         return (w.astype(compute_dtype)
                 * p[name + "_scale"].astype(compute_dtype))
+    if w.dtype == jnp.int4:
+        return dequant_int4(w, p[name + "_scale"], compute_dtype)
     return w

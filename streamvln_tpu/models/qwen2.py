@@ -305,7 +305,13 @@ def _proj(x, p, name, lora_scale=None, act_int8=False):
     compute-bound prefill, cfg.act_int8)."""
     w = p[name]
     scale = None
-    if w.dtype == jnp.int8:
+    if w.dtype == jnp.int4:
+        # group-wise scales do not commute with the contraction:
+        # dequantize in the dot's operand stream (the HBM read stays
+        # int4 — half the bytes of int8; models/quant.py)
+        from streamvln_tpu.models.quant import dequant_int4
+        w = dequant_int4(w, p[name + "_scale"], x.dtype)
+    elif w.dtype == jnp.int8:
         scale = p[name + "_scale"].astype(jnp.float32)  # [.., 1, dout]
         if act_int8:
             from streamvln_tpu.models.quant import int8_dynamic_matmul
@@ -371,6 +377,9 @@ def _moe_mlp(cfg: Qwen2Config, h: jax.Array, p) -> jax.Array:
         w = p[name]
         if w.dtype == jnp.int8:
             return w.astype(h.dtype), p[name + "_scale"][:, 0, :][None]
+        if w.dtype == jnp.int4:
+            from streamvln_tpu.models.quant import dequant_int4
+            return dequant_int4(w, p[name + "_scale"], h.dtype), None
         return w, None
 
     act_fn = _mlp_act_fn(cfg.mlp_act)
@@ -622,6 +631,9 @@ def lm_head_logits(params: Params, x: jax.Array) -> jax.Array:
     elif head.dtype == jnp.int8:
         head_scale = params["lm_head_scale"].astype(jnp.float32)
         head = head.astype(x.dtype)
+    elif head.dtype == jnp.int4:
+        from streamvln_tpu.models.quant import dequant_int4
+        head = dequant_int4(head, params["lm_head_scale"], x.dtype)
     logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
     if head_scale is not None:
         logits = logits * head_scale

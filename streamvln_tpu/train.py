@@ -76,9 +76,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="train only LoRA adapters on the LLM")
     p.add_argument("--lora_r", type=int, default=16)
     p.add_argument("--lora_alpha", type=float, default=32.0)
-    p.add_argument("--bits", type=int, default=16, choices=[8, 16],
-                   help="8: int8 weight-only quantize the LLM "
-                        "(models/quant.py) after load")
+    p.add_argument("--bits", type=int, default=16, choices=[4, 8, 16],
+                   help="8/4: int8 (per-channel) / int4 (group-wise) "
+                        "weight-only quantize of the LLM after load "
+                        "(models/quant.py; reference: bitsandbytes "
+                        "--bits 4/8, streamvln_train.py:1564-1600)")
     p.add_argument("--act_int8", action="store_true",
                    help="int8 x int8 MXU matmuls with per-token "
                         "activation quant (requires --bits 8; STE "
@@ -231,16 +233,21 @@ def main(argv: Optional[List[str]] = None):
             args.model_path, cfg, dtype)
     else:
         params = streamvln.init(jax.random.PRNGKey(args.seed), cfg, dtype)
-    if args.bits == 8:
+    if args.bits in (4, 8):
         if not args.lora_enable:
-            # int8 leaves carry float0 grads; only the LoRA path's
+            # int leaves carry float0 grads; only the LoRA path's
             # set_to_zero branch tolerates them (reference's k-bit
             # load likewise requires PEFT adapters,
             # streamvln_train.py:1564-1632)
-            raise SystemExit("--bits 8 requires --lora_enable")
+            raise SystemExit(f"--bits {args.bits} requires "
+                             f"--lora_enable")
         from streamvln_tpu.models import quant
-        params = quant.quantize_llm(params)
+        params = quant.quantize_llm(params, bits=args.bits)
         if args.act_int8:
+            if args.bits != 8:
+                raise SystemExit("--act_int8 requires --bits 8 "
+                                 "(group-wise int4 scales cannot ride "
+                                 "the int32 output)")
             cfg = dataclasses.replace(
                 cfg, llm=dataclasses.replace(cfg.llm, act_int8=True))
     elif args.act_int8:

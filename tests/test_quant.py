@@ -193,3 +193,58 @@ def test_int8_dynamic_matmul_gradient_flows():
     cos = float((g * ref).sum()
                 / (jnp.linalg.norm(g) * jnp.linalg.norm(ref)))
     assert cos > 0.99
+
+
+def test_int4_quantize_roundtrip_and_shapes():
+    rng = np.random.RandomState(7)
+    w = jnp.asarray((rng.randn(256, 96) * 0.04).astype(np.float32))
+    q, scale = quant.quantize_weight_int4(w, group=128)
+    assert q.dtype == jnp.int4 and q.shape == w.shape
+    assert scale.shape == (2, 96)          # din/group groups
+    deq = quant.dequant_int4(q, scale, jnp.float32)
+    # symmetric 15-level grid: error bounded by half a quant step
+    step = np.asarray(scale).repeat(128, axis=0)
+    assert np.all(np.abs(np.asarray(deq - w)) <= step / 2 + 1e-7)
+
+
+def test_int4_forward_close_to_fp():
+    from streamvln_tpu.configs import tiny_llm
+    cfg = tiny_llm()
+    params = qwen2.init(jax.random.PRNGKey(0), cfg, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (1, 16, cfg.hidden_size), jnp.float32)
+    pos = jnp.arange(16)[None]
+    ref, _ = qwen2.forward(params, cfg, x, pos, attn_impl="dense")
+    q4 = quant.quantize_llm({"llm": params}, bits=4)["llm"]
+    out, _ = qwen2.forward(q4, cfg, x, pos, attn_impl="dense")
+    ref_n = np.asarray(jax.nn.softmax(ref, -1))
+    out_n = np.asarray(jax.nn.softmax(out, -1))
+    assert np.abs(ref_n - out_n).max() < 0.08
+    # dequantize_llm inverts to the same forward exactly
+    dq = quant.dequantize_llm({"llm": q4})["llm"]
+    out_dq, _ = qwen2.forward(dq, cfg, x, pos, attn_impl="dense")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_dq))
+
+
+def test_int4_engine_decode_runs():
+    """StreamingEngine prefill+decode over an int4-quantized LLM."""
+    from streamvln_tpu.configs import tiny_streamvln
+    from streamvln_tpu.data import chatml
+    from streamvln_tpu.data.tokenizer import ByteTokenizer
+    from streamvln_tpu.models import streamvln
+    from streamvln_tpu.streaming.engine import StreamingEngine
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    params = quant.quantize_llm(params, bits=4)
+    tok = ByteTokenizer()
+    eng = StreamingEngine(params, cfg, stop_ids=(tok.im_end_id,),
+                          compute_dtype=jnp.float32, max_new_tokens=4,
+                          cache_capacity=1024, buckets=(768,))
+    ids, _ = chatml.tokenize_dialogue(
+        tok, [("user", chatml.observation_prompt(None, "go"))],
+        add_system=True, with_labels=False)
+    ids = np.concatenate([ids, np.asarray(
+        chatml.generation_prompt(tok), np.int32)])
+    toks = eng.generate(0, np.zeros((48, 64, 3), np.uint8), ids,
+                        step_id=0)
+    assert 1 <= len(toks) <= 4
