@@ -21,7 +21,7 @@ def build_agent(model_path: Optional[str], model_size: str = "7b",
                 num_frames: int = 32, num_future_steps: int = 4,
                 num_history: int = 8, model_max_length: int = 4096,
                 cache_capacity: int = 4096, max_new_tokens: int = 16,
-                n_envs: int = 1):
+                n_envs: int = 1, lora_adapters: Optional[str] = None):
     import jax
     import jax.numpy as jnp
     from streamvln_tpu import configs
@@ -46,6 +46,12 @@ def build_agent(model_path: Optional[str], model_size: str = "7b",
                                                       dtype)
     else:
         params = streamvln.init(jax.random.PRNGKey(0), cfg, dtype)
+    if lora_adapters:
+        # 'lora' model-builder dispatch: attach exported adapters and
+        # fold them (reference: llava/model/builder.py:40-80)
+        from streamvln_tpu.models import lora as lora_lib
+        params = lora_lib.merge_lora(
+            lora_lib.apply_adapters_npz(params, lora_adapters))
     stop = {tok.im_end_id}
     if hasattr(tok, "eos_id"):
         stop.add(tok.eos_id)
@@ -74,6 +80,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", type=str, default=None)
     p.add_argument("--model_size", type=str, default="7b")
+    p.add_argument("--lora_adapters", type=str, default=None,
+                   help="lora_adapters.npz from train.py --lora_enable "
+                        "--export_hf; merged into the base weights")
     p.add_argument("--habitat_config_path", type=str,
                    default="config/vln_r2r.yaml")
     p.add_argument("--eval_split", type=str, default="val_unseen")
@@ -110,7 +119,7 @@ def main(argv=None):
     agent = build_agent(
         args.model_path, args.model_size, args.num_frames,
         args.num_future_steps, args.num_history, args.model_max_length,
-        n_envs=args.n_envs)
+        n_envs=args.n_envs, lora_adapters=args.lora_adapters)
 
     if args.n_envs > 1:
         import functools

@@ -70,6 +70,14 @@ def merge_lora(params: dict) -> dict:
                 q, sc = quantize_weight(wf + delta)
                 layers[base] = q
                 layers[base + "_scale"] = sc
+            elif w.dtype == jnp.int4:
+                from streamvln_tpu.models.quant import (
+                    dequant_int4, quantize_weight_int4)
+                wf = dequant_int4(w, layers[base + "_scale"],
+                                  jnp.float32)
+                q, sc = quantize_weight_int4(wf + delta)
+                layers[base] = q
+                layers[base + "_scale"] = sc
             else:
                 layers[base] = (w.astype(jnp.float32)
                                 + delta).astype(w.dtype)
@@ -90,6 +98,26 @@ def split_lora(params: dict) -> Tuple[dict, dict]:
     base["llm"]["layers"] = base_layers
     return base, {"layers": adapters,
                   "lora_scale": llm.get("lora_scale")}
+
+
+def apply_adapters_npz(params: dict, path: str) -> dict:
+    """Attach adapters exported by train.py (lora_adapters.npz) onto a
+    base parameter tree — the inference-side 'lora' model-builder
+    dispatch (reference: llava/model/builder.py:40-80 loads the PEFT
+    adapters + non-lora trainables and merges). Call merge_lora() after
+    to fold them for serving."""
+    import numpy as np
+    data = np.load(path)
+    layers = dict(params["llm"]["layers"])
+    for k in data.files:
+        if k == "lora_scale":
+            continue
+        layers[k] = jnp.asarray(data[k])
+    out = dict(params)
+    out["llm"] = dict(params["llm"])
+    out["llm"]["layers"] = layers
+    out["llm"]["lora_scale"] = jnp.asarray(data["lora_scale"])
+    return out
 
 
 def is_lora_path(path_str: str) -> bool:

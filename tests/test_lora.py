@@ -96,3 +96,46 @@ def test_lora_only_training_freezes_base():
     after_lora = np.asarray(state.params["llm"]["layers"]["q_w_lora_b"])
     np.testing.assert_array_equal(before_base, after_base)
     assert np.abs(after_lora - before_lora).max() > 0
+
+
+def test_adapter_npz_roundtrip_matches_live_adapters(tmp_path):
+    """Export adapters (train.py format), re-attach with
+    apply_adapters_npz on fresh base params, merge: forward must match
+    the live-adapter model exactly (reference 'lora' builder dispatch,
+    llava/model/builder.py:40-80)."""
+    import numpy as np
+
+    from streamvln_tpu.configs import tiny_llm
+    from streamvln_tpu.models import lora as lora_lib
+    from streamvln_tpu.models import qwen2
+
+    cfg = tiny_llm()
+    base = {"llm": qwen2.init(jax.random.PRNGKey(0), cfg, jnp.float32)}
+    live = lora_lib.add_lora(base, jax.random.PRNGKey(1), cfg, rank=4,
+                             alpha=8.0)
+    # make adapters non-trivial (B starts at zero)
+    layers = dict(live["llm"]["layers"])
+    for k in list(layers):
+        if k.endswith("_lora_b"):
+            layers[k] = jax.random.normal(jax.random.PRNGKey(2),
+                                          layers[k].shape) * 0.05
+    live = dict(live)
+    live["llm"] = dict(live["llm"])
+    live["llm"]["layers"] = layers
+
+    _, adapters = lora_lib.split_lora(live)
+    flat = {k: np.asarray(v) for k, v in adapters["layers"].items()}
+    flat["lora_scale"] = np.asarray(adapters["lora_scale"])
+    path = tmp_path / "lora_adapters.npz"
+    np.savez(path, **flat)
+
+    reloaded = lora_lib.merge_lora(
+        lora_lib.apply_adapters_npz(base, str(path)))
+    merged_live = lora_lib.merge_lora(live)
+
+    x = jax.random.normal(jax.random.PRNGKey(3),
+                          (1, 8, cfg.hidden_size), jnp.float32)
+    pos = jnp.arange(8)[None]
+    a, _ = qwen2.forward(merged_live["llm"], cfg, x, pos)
+    b, _ = qwen2.forward(reloaded["llm"], cfg, x, pos)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
