@@ -23,6 +23,29 @@ import numpy as np
 TARGET_HZ = 5.0
 
 
+class _TransformedEnv:
+    """In-process counterpart of the worker-side obs transform."""
+
+    def __init__(self, env, tf):
+        self._env = env
+        self._tf = tf
+
+    def reset(self):
+        return self._tf(self._env.reset())
+
+    def step(self, action):
+        return self._tf(self._env.step(action))
+
+    def __getattr__(self, name):
+        return getattr(self._env, name)
+
+    def __setattr__(self, name, value):
+        if name in ("_env", "_tf"):
+            object.__setattr__(self, name, value)
+        else:
+            setattr(self._env, name, value)
+
+
 def main():
     import jax
     # persistent compilation cache: the 7B prefill buckets compile via
@@ -205,15 +228,29 @@ def main():
             fused_preprocess=os.environ.get("BENCH_FUSED_PRE") == "1")
         agent = VLNAgent(engine, tok, memory_prompt=MEMORY_PROMPT_EVAL)
         from streamvln_tpu.eval.env_workers import resize_rgb_transform
-        # frames resize PIL-exactly inside the worker process (the
-        # reference resizes host-side too), so pipes and the
-        # host->device link carry compact 384^2 uint8
-        factory = remote_env_factory(
-            functools.partial(
-                FakeNavEnv, [], max_episode_steps=500,
-                rgb_shape=(480, 640, 3), step_time_s=0.02),
-            obs_transform=(resize_rgb_transform(cfg.vision.image_size)
-                           if presized else None))
+        env_fn = functools.partial(
+            FakeNavEnv, [], max_episode_steps=500,
+            rgb_shape=(480, 640, 3), step_time_s=0.02)
+        tf = (resize_rgb_transform(cfg.vision.image_size)
+              if presized else None)
+        cores = os.cpu_count() or 1
+        use_workers = os.environ.get(
+            "BENCH_EVAL_WORKERS",
+            "1" if cores >= n_envs else "0") == "1"
+        if use_workers:
+            # frames resize PIL-exactly inside the worker process (the
+            # reference resizes host-side too), so pipes and the
+            # host->device link carry compact 384^2 uint8
+            factory = remote_env_factory(env_fn, obs_transform=tf)
+        else:
+            # a host with fewer cores than sims serializes the worker
+            # processes anyway; in-process stepping at least skips the
+            # pickle round-trips (this harness: 1 core)
+            def factory():
+                env = env_fn()
+                if tf is None:
+                    return env
+                return _TransformedEnv(env, tf)
         max_steps = 2 * nf
         # random bench weights decode to STOP on call one, which would
         # measure episode turnover instead of streaming throughput —
@@ -244,6 +281,11 @@ def main():
             "env_steps": total_steps,
             "hz": round(total_steps / wall, 3),
             "wall_s": round(wall, 2),
+            # N sims need N host cores to truly step concurrently; on
+            # core-starved harnesses (this tunnel host: 1) obs
+            # generation serializes and this number is a lower bound
+            "host_cores": cores,
+            "env_workers": use_workers,
         }
 
     runs = [measure(n) for n in env_counts]
