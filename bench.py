@@ -234,9 +234,11 @@ def main():
         tf = (resize_rgb_transform(cfg.vision.image_size)
               if presized else None)
         cores = os.cpu_count() or 1
-        use_workers = os.environ.get(
-            "BENCH_EVAL_WORKERS",
-            "1" if cores >= n_envs else "0") == "1"
+        # workers win even on this 1-core host (measured 15.1 vs 10.6
+        # Hz in-process at 7B-int8/8 envs): the sim's own wait (sleep /
+        # habitat GPU render) overlaps across processes even when the
+        # CPU-bound parts serialize
+        use_workers = os.environ.get("BENCH_EVAL_WORKERS", "1") == "1"
         if use_workers:
             # frames resize PIL-exactly inside the worker process (the
             # reference resizes host-side too), so pipes and the
