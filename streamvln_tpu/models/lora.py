@@ -70,7 +70,7 @@ def merge_lora(params: dict) -> dict:
                 q, sc = quantize_weight(wf + delta)
                 layers[base] = q
                 layers[base + "_scale"] = sc
-            elif w.dtype == jnp.int4:
+            elif w.dtype == jnp.uint8:
                 from streamvln_tpu.models.quant import (
                     dequant_int4, quantize_weight_int4)
                 wf = dequant_int4(w, layers[base + "_scale"],

@@ -305,10 +305,11 @@ def _proj(x, p, name, lora_scale=None, act_int8=False):
     compute-bound prefill, cfg.act_int8)."""
     w = p[name]
     scale = None
-    if w.dtype == jnp.int4:
-        # group-wise scales do not commute with the contraction:
-        # dequantize in the dot's operand stream (the HBM read stays
-        # int4 — half the bytes of int8; models/quant.py)
+    if w.dtype == jnp.uint8:
+        # packed int4: group-wise scales do not commute with the
+        # contraction — unpack+dequantize in the dot's operand stream
+        # (the HBM read stays at the packed footprint, half of int8;
+        # models/quant.py)
         from streamvln_tpu.models.quant import dequant_int4
         w = dequant_int4(w, p[name + "_scale"], x.dtype)
     elif w.dtype == jnp.int8:
@@ -377,7 +378,7 @@ def _moe_mlp(cfg: Qwen2Config, h: jax.Array, p) -> jax.Array:
         w = p[name]
         if w.dtype == jnp.int8:
             return w.astype(h.dtype), p[name + "_scale"][:, 0, :][None]
-        if w.dtype == jnp.int4:
+        if w.dtype == jnp.uint8:
             from streamvln_tpu.models.quant import dequant_int4
             return dequant_int4(w, p[name + "_scale"], h.dtype), None
         return w, None
@@ -631,7 +632,7 @@ def lm_head_logits(params: Params, x: jax.Array) -> jax.Array:
     elif head.dtype == jnp.int8:
         head_scale = params["lm_head_scale"].astype(jnp.float32)
         head = head.astype(x.dtype)
-    elif head.dtype == jnp.int4:
+    elif head.dtype == jnp.uint8:
         from streamvln_tpu.models.quant import dequant_int4
         head = dequant_int4(head, params["lm_head_scale"], x.dtype)
     logits = jnp.dot(x, head, preferred_element_type=jnp.float32)

@@ -199,12 +199,15 @@ def test_int4_quantize_roundtrip_and_shapes():
     rng = np.random.RandomState(7)
     w = jnp.asarray((rng.randn(256, 96) * 0.04).astype(np.float32))
     q, scale = quant.quantize_weight_int4(w, group=128)
-    assert q.dtype == jnp.int4 and q.shape == w.shape
+    # packed: two signed nibbles per byte along the contraction dim
+    assert q.dtype == jnp.uint8 and q.shape == (128, 96)
     assert scale.shape == (2, 96)          # din/group groups
     deq = quant.dequant_int4(q, scale, jnp.float32)
+    assert deq.shape == w.shape
     # symmetric 15-level grid: error bounded by half a quant step
     step = np.asarray(scale).repeat(128, axis=0)
-    assert np.all(np.abs(np.asarray(deq - w)) <= step / 2 + 1e-7)
+    assert np.all(np.abs(np.asarray(deq) - np.asarray(w))
+                  <= step / 2 + 1e-7)
 
 
 def test_int4_forward_close_to_fp():
