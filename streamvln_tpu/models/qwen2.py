@@ -550,6 +550,7 @@ def forward(
     valid: Optional[jax.Array] = None,     # [B, S] bool; False = padding
     attn_impl: str = "auto",
     remat: bool = False,
+    remat_chunk: Optional[int] = None,  # nested remat: layers per chunk
     logits_positions: Optional[jax.Array] = None,  # [B] -> logits only
     # at these in-sequence indices ([B, 1, V]); saves the full-vocab
     # [B, S, V] projection during prefill (HF num_logits_to_keep parity)
@@ -606,7 +607,29 @@ def forward(
             return x, None
 
         step_fn = jax.checkpoint(step) if remat else step
-        x, _ = jax.lax.scan(step_fn, x, params["layers"])
+        if remat and remat_chunk and remat_chunk > 1 \
+                and cfg.num_layers % remat_chunk == 0:
+            # nested remat: scan over layer CHUNKS with an outer
+            # checkpoint, per-layer checkpoint inside — the backward
+            # saves only num_layers/remat_chunk residual-stream
+            # boundaries instead of num_layers (at 7B/32k each boundary
+            # is 235 MB; plain per-layer remat's 28 boundaries alone
+            # exceed a 16 GB chip). Costs one extra chunk forward per
+            # chunk backward.
+            n_outer = cfg.num_layers // remat_chunk
+            chunked = jax.tree.map(
+                lambda a: a.reshape((n_outer, remat_chunk)
+                                    + a.shape[1:]),
+                params["layers"])
+
+            @jax.checkpoint
+            def outer(carry, chunk_params):
+                y, _ = jax.lax.scan(step_fn, carry, chunk_params)
+                return y, None
+
+            x, _ = jax.lax.scan(outer, x, chunked)
+        else:
+            x, _ = jax.lax.scan(step_fn, x, params["layers"])
         new_cache = None
 
     if logits_positions is not None:

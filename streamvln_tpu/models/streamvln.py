@@ -238,6 +238,7 @@ def forward_train(
     attn_impl: str = "auto",
     remat: bool = False,
     loss_chunk_size: Optional[int] = None,
+    remat_chunk: Optional[int] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Training forward. Returns (loss, logits).
 
@@ -260,13 +261,14 @@ def forward_train(
     if loss_chunk_size is None:
         logits, _ = qwen2.forward(
             params["llm"], cfg.llm, embeds, positions, valid=valid,
-            attn_impl=attn_impl, remat=remat)
+            attn_impl=attn_impl, remat=remat, remat_chunk=remat_chunk)
         loss = _ce_loss(logits[:, :-1], labels[:, 1:])
         return loss, logits
 
     hidden, _ = qwen2.forward(
         params["llm"], cfg.llm, embeds, positions, valid=valid,
-        attn_impl=attn_impl, remat=remat, return_hidden=True)
+        attn_impl=attn_impl, remat=remat, remat_chunk=remat_chunk,
+        return_hidden=True)
     C = loss_chunk_size
     assert T % C == 0, (T, C)
     # shift: hidden[t] predicts labels[t+1]; pad labels so chunks align

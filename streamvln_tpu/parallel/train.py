@@ -69,6 +69,10 @@ class TrainConfig:
     # is what makes 32k-context training fit in HBM
     loss_chunk_size: Optional[int] = 512
     remat: bool = True
+    # nested remat: layers per outer-checkpoint chunk (None = per-layer
+    # boundaries). At 7B/32k the 28 per-layer residual-stream saves are
+    # 6.6 GB — remat_chunk=7 keeps 4 and recomputes the rest.
+    remat_chunk: Optional[int] = None
     attn_impl: str = "auto"
 
 
@@ -197,7 +201,7 @@ def make_train_step(cfg: StreamVLNConfig, tcfg: TrainConfig, mesh):
             {k: batch[k] for k in ("token_ids", "is_vision",
                                    "vision_index", "labels", "valid")},
             attn_impl=tcfg.attn_impl, remat=tcfg.remat,
-            loss_chunk_size=chunk)
+            loss_chunk_size=chunk, remat_chunk=tcfg.remat_chunk)
         return loss
 
     def step_fn(state: TrainState, batch):
