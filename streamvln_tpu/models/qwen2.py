@@ -457,11 +457,17 @@ def _moe_mlp(cfg: Qwen2Config, h: jax.Array, p) -> jax.Array:
 def _layer_step(cfg: Qwen2Config, attn_impl: str,
                 carry, layer_params,
                 positions, k_pos, cache_kv=None, cache_offsets=None,
-                lora_scale=None):
+                lora_scale=None, mlp_chunk=None):
     """One decoder block. carry = hidden states [B, S, Dm].
 
     k_pos: positions of keys — in-sequence positions (no cache) or cache
     slot indices (cache path); invalid keys hold a huge sentinel.
+
+    mlp_chunk: sequence-chunk the MLP (exact — the MLP is pointwise over
+    tokens) with a per-chunk jax.checkpoint, bounding its fwd/bwd temps
+    to [B, mlp_chunk, F] instead of [B, S, F]. At 7B/32k the full-seq
+    f32 gate/up/act temps are 2.3 GB EACH and are the binding
+    allocations on a 16 GB chip even under nested layer remat.
     """
     x = carry
     p = layer_params
@@ -526,14 +532,30 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
         x = x + _moe_mlp(cfg, h, p)
     else:
         act_fn = _mlp_act_fn(cfg.mlp_act)
-        up = _proj(h, p, "up_w", lora_scale, ai8)
-        if cfg.mlp_gated:
-            gate = _proj(h, p, "gate_w", lora_scale, ai8)
-            act = (act_fn(gate.astype(jnp.float32))
-                   * up.astype(jnp.float32)).astype(x.dtype)
+
+        def _mlp(hb):
+            up = _proj(hb, p, "up_w", lora_scale, ai8)
+            if cfg.mlp_gated:
+                gate = _proj(hb, p, "gate_w", lora_scale, ai8)
+                act = (act_fn(gate.astype(jnp.float32))
+                       * up.astype(jnp.float32)).astype(x.dtype)
+            else:
+                act = act_fn(up.astype(jnp.float32)).astype(x.dtype)
+            return _proj(act, p, "down_w", lora_scale, ai8)
+
+        if mlp_chunk and S > mlp_chunk and S % mlp_chunk == 0:
+            # token-chunked, per-chunk-rematted MLP: identical math per
+            # token (chunking is over rows), so results are bit-exact;
+            # the inner checkpoint keeps only each chunk's input as the
+            # scan residual and recomputes gate/up/act per chunk in the
+            # backward pass.
+            hseq = h.reshape(B, S // mlp_chunk, mlp_chunk,
+                             Dm).swapaxes(0, 1)
+            _, ys = jax.lax.scan(
+                lambda c, hb: (c, jax.checkpoint(_mlp)(hb)), None, hseq)
+            x = x + ys.swapaxes(0, 1).reshape(B, S, Dm)
         else:
-            act = act_fn(up.astype(jnp.float32)).astype(x.dtype)
-        x = x + _proj(act, p, "down_w", lora_scale, ai8)
+            x = x + _mlp(h)
     return x, new_cache
 
 
@@ -551,6 +573,8 @@ def forward(
     attn_impl: str = "auto",
     remat: bool = False,
     remat_chunk: Optional[int] = None,  # nested remat: layers per chunk
+    mlp_chunk: Optional[int] = None,    # token-chunked MLP (see
+    # _layer_step docstring; long-context training memory)
     logits_positions: Optional[jax.Array] = None,  # [B] -> logits only
     # at these in-sequence indices ([B, 1, V]); saves the full-vocab
     # [B, S, V] projection during prefill (HF num_logits_to_keep parity)
@@ -603,31 +627,56 @@ def forward(
 
         def step(carry, lp):
             x, _ = _layer_step(cfg, attn_impl, carry, lp, positions,
-                               k_pos, lora_scale=lora_scale)
+                               k_pos, lora_scale=lora_scale,
+                               mlp_chunk=mlp_chunk)
             return x, None
 
         step_fn = jax.checkpoint(step) if remat else step
         if remat and remat_chunk and remat_chunk > 1 \
                 and cfg.num_layers % remat_chunk == 0:
-            # nested remat: scan over layer CHUNKS with an outer
-            # checkpoint, per-layer checkpoint inside — the backward
-            # saves only num_layers/remat_chunk residual-stream
+            # nested remat: Python-unrolled layer CHUNKS with an outer
+            # checkpoint per chunk, per-layer checkpoint inside — the
+            # backward saves only num_layers/remat_chunk residual-stream
             # boundaries instead of num_layers (at 7B/32k each boundary
             # is 235 MB; plain per-layer remat's 28 boundaries alone
             # exceed a 16 GB chip). Costs one extra chunk forward per
             # chunk backward.
+            #
+            # Both loops scan over layer INDICES and dynamic-index the
+            # closed-over stacked weights inside the body: scanning over
+            # the chunked weights themselves (xs=[n_outer, chunk, ...])
+            # materializes each chunk's stacked weights as while-loop
+            # operands — at 7B three s8[7,3584,18944] (453 MB) buffers,
+            # ~1.4 GB of pure weight copies; and full Python unrolling
+            # loses the scan's serialization, letting the scheduler keep
+            # dozens of per-layer f32 temps live (measured 33.9 GB).
+            # Index-scan keeps per-layer slices transient (65 MB) and
+            # the graph serialized.
+            layers = params["layers"]
             n_outer = cfg.num_layers // remat_chunk
-            chunked = jax.tree.map(
-                lambda a: a.reshape((n_outer, remat_chunk)
-                                    + a.shape[1:]),
-                params["layers"])
+
+            def one_layer(y, idx):
+                lp = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, idx, 0, keepdims=False), layers)
+                y2, _ = _layer_step(cfg, attn_impl, y, lp,
+                                    positions, k_pos,
+                                    lora_scale=lora_scale,
+                                    mlp_chunk=mlp_chunk)
+                return y2
 
             @jax.checkpoint
-            def outer(carry, chunk_params):
-                y, _ = jax.lax.scan(step_fn, carry, chunk_params)
+            def outer(carry, c_idx):
+                def inner(y, j):
+                    return jax.checkpoint(one_layer)(
+                        y, c_idx * remat_chunk + j), None
+                y, _ = jax.lax.scan(
+                    inner, carry,
+                    jnp.arange(remat_chunk, dtype=jnp.int32))
                 return y, None
 
-            x, _ = jax.lax.scan(outer, x, chunked)
+            x, _ = jax.lax.scan(
+                outer, x, jnp.arange(n_outer, dtype=jnp.int32))
         else:
             x, _ = jax.lax.scan(step_fn, x, params["layers"])
         new_cache = None

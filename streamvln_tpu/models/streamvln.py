@@ -239,6 +239,7 @@ def forward_train(
     remat: bool = False,
     loss_chunk_size: Optional[int] = None,
     remat_chunk: Optional[int] = None,
+    mlp_chunk: Optional[int] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Training forward. Returns (loss, logits).
 
@@ -261,14 +262,15 @@ def forward_train(
     if loss_chunk_size is None:
         logits, _ = qwen2.forward(
             params["llm"], cfg.llm, embeds, positions, valid=valid,
-            attn_impl=attn_impl, remat=remat, remat_chunk=remat_chunk)
+            attn_impl=attn_impl, remat=remat, remat_chunk=remat_chunk,
+            mlp_chunk=mlp_chunk)
         loss = _ce_loss(logits[:, :-1], labels[:, 1:])
         return loss, logits
 
     hidden, _ = qwen2.forward(
         params["llm"], cfg.llm, embeds, positions, valid=valid,
         attn_impl=attn_impl, remat=remat, remat_chunk=remat_chunk,
-        return_hidden=True)
+        mlp_chunk=mlp_chunk, return_hidden=True)
     C = loss_chunk_size
     assert T % C == 0, (T, C)
     # shift: hidden[t] predicts labels[t+1]; pad labels so chunks align

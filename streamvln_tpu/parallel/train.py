@@ -73,6 +73,11 @@ class TrainConfig:
     # boundaries). At 7B/32k the 28 per-layer residual-stream saves are
     # 6.6 GB — remat_chunk=7 keeps 4 and recomputes the rest.
     remat_chunk: Optional[int] = None
+    # token-chunked MLP with per-chunk remat (exact): bounds the MLP's
+    # [S, intermediate] fwd/bwd temps — at 7B/32k those f32 temps are
+    # 2.3 GB each and are what breaks a 16 GB chip once remat_chunk has
+    # handled the residual-stream saves.
+    mlp_chunk: Optional[int] = None
     attn_impl: str = "auto"
 
 
@@ -201,7 +206,8 @@ def make_train_step(cfg: StreamVLNConfig, tcfg: TrainConfig, mesh):
             {k: batch[k] for k in ("token_ids", "is_vision",
                                    "vision_index", "labels", "valid")},
             attn_impl=tcfg.attn_impl, remat=tcfg.remat,
-            loss_chunk_size=chunk, remat_chunk=tcfg.remat_chunk)
+            loss_chunk_size=chunk, remat_chunk=tcfg.remat_chunk,
+            mlp_chunk=tcfg.mlp_chunk)
         return loss
 
     def step_fn(state: TrainState, batch):
@@ -238,4 +244,5 @@ def make_train_step(cfg: StreamVLNConfig, tcfg: TrainConfig, mesh):
         state = _normalize_state(state, mesh)
         return compiled[key](state, batch)
 
+    jit_step.compiled = compiled   # exposed for memory/cost inspection
     return jit_step

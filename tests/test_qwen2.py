@@ -125,3 +125,31 @@ def test_reset_rows_reuses_buffer():
                           jnp.array([3, 5, 7, 9], jnp.int32))
     cache = cache.reset_rows(jnp.array([False, True, False, True]))
     np.testing.assert_array_equal(np.asarray(cache.length), [3, 0, 7, 0])
+
+
+def test_remat_chunk_and_mlp_chunk_exactness():
+    """Nested (unrolled) layer-chunk remat and the token-chunked MLP are
+    pure memory transforms: loss is bit-exact and grads match to fp
+    accumulation noise vs the plain rematted scan."""
+    cfg = tiny_llm()
+    # need num_layers divisible by the chunk; tiny_llm has 2 layers
+    assert cfg.num_layers % 2 == 0
+    params = qwen2.init(jax.random.PRNGKey(0), cfg, jnp.float32)
+    B, S = 2, 32
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, S, cfg.hidden_size))
+    pos = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+
+    def loss(p, rc, mc):
+        lg, _ = qwen2.forward(p, cfg, x, pos, remat=True,
+                              remat_chunk=rc, mlp_chunk=mc)
+        return jnp.sum(lg.astype(jnp.float32) ** 2) / (B * S)
+
+    l0, g0 = jax.value_and_grad(loss)(params, None, None)
+    l1, g1 = jax.value_and_grad(loss)(params, 2, 8)
+    # same math per token; XLA may fuse/reassociate dots differently
+    # between the two loop structures, so "exact" = fp accumulation noise
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))
+                           / (jnp.max(jnp.abs(a)) + 1e-6)), g0, g1)
+    assert max(jax.tree.leaves(diffs)) < 1e-4, diffs

@@ -31,7 +31,7 @@ def test_train_step_32k_context():
                               devices=jax.devices()[:1])
     tcfg = train_lib.TrainConfig(
         total_steps=2, remat=True, attn_impl="chunked",
-        loss_chunk_size=2048, warmup_ratio=0.0)
+        loss_chunk_size=2048, warmup_ratio=0.0, mlp_chunk=4096)
     params = mesh_lib.shard_params(
         streamvln.init(jax.random.PRNGKey(0), cfg), mesh)
     state = train_lib.create_train_state(params, tcfg)
