@@ -70,6 +70,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--freeze_vision", action="store_true")
     p.add_argument("--freeze_projector", action="store_true")
     p.add_argument("--no_remat", action="store_true")
+    # long-context memory knobs (reference trains at model_max_length
+    # 32768, scripts/streamvln_train_slurm.sh:68; the 7B@32k v5e-1
+    # recipe is remat_chunk 7 + mlp_chunk 2048 + loss_chunk 1024)
+    p.add_argument("--remat_chunk", type=int, default=None,
+                   help="layers per nested-remat chunk (must divide "
+                   "num_layers); saves residual-stream boundaries")
+    p.add_argument("--mlp_chunk", type=int, default=None,
+                   help="token-chunked MLP remat (bounds [S,F] temps)")
+    p.add_argument("--loss_chunk", type=int, default=512,
+                   help="sequence-chunked cross-entropy block")
     # LoRA / k-bit (reference: streamvln_train.py:1564-1632 —
     # --lora_enable + bitsandbytes --bits path)
     p.add_argument("--lora_enable", action="store_true",
@@ -204,6 +214,9 @@ def main(argv: Optional[List[str]] = None):
         freeze_projector=args.freeze_projector,
         grad_accum_steps=args.grad_accum_steps,
         remat=not args.no_remat,
+        remat_chunk=args.remat_chunk,
+        mlp_chunk=args.mlp_chunk,
+        loss_chunk_size=args.loss_chunk,
         lora_only=args.lora_enable)
 
     tok = load_tokenizer(args.model_path, args.model_max_length)
