@@ -466,11 +466,18 @@ class StreamingEngine:
                 env, frame_u8, turn_ids, step_id, history_steps, pad_to)
             worst = self.envs[env].kv_length + layout.length \
                 + self.max_new
+            # the prefill writes the FULL padded bucket at this row's
+            # offset; dynamic_update_slice CLAMPS a start that would
+            # run past capacity, silently shifting the write down over
+            # valid low slots (measured token corruption) — so the
+            # padded write must fit too, not just the real tokens
+            worst = max(worst, self.envs[env].kv_length + pad_to)
             if worst > cap:
                 raise RuntimeError(
                     f"env {env}: KV cache would overflow "
-                    f"({worst} > capacity {cap}); raise cache_capacity "
-                    f"or shorten the window/prompt")
+                    f"({worst} > capacity {cap}, incl. the padded "
+                    f"{pad_to}-token bucket write); raise "
+                    f"cache_capacity or shorten the window/prompt")
             prefill_lens[env] = layout.length
             packed[env, 0] = layout.token_ids
             packed[env, 1] = layout.is_vision

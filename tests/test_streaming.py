@@ -298,3 +298,27 @@ def test_chunked_decode_matches_single_call(setup):
                 break
             b.extend(chunk)
         assert b[:len(a)] == a, f"follow-up: {b} != {a}"
+
+
+def test_padded_bucket_write_guard(setup):
+    """The prefill writes the full padded bucket at each row's KV
+    offset; dynamic_update_slice CLAMPS an out-of-range start, silently
+    shifting the write over valid low slots (reproduced as token
+    corruption vs a large-capacity engine). The overflow guard must
+    therefore reject calls where offset + pad_to exceeds capacity —
+    loudly, not corruptly."""
+    cfg, params, tok = setup
+    eng = make_engine(cfg, params, tok, cache_capacity=1100,
+                      buckets=(768,), max_new_tokens=4)
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 255, (32, 32, 3), np.uint8)
+    first = chatml.observation_prompt(None, "navigate to the kitchen")
+    with pytest.raises(RuntimeError, match="padded"):
+        for step in range(16):
+            text = first if step == 0 else chatml.observation_prompt(
+                None, "")
+            ids, _ = chatml.tokenize_dialogue(
+                tok, [("user", text)], add_system=(step == 0))
+            ids = np.concatenate(
+                [ids, chatml.generation_prompt(tok)]).astype(np.int32)
+            eng.generate(0, frame, ids, step)
