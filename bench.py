@@ -92,6 +92,10 @@ def main():
         # default: headline 1-env latency plus the batched-env aggregate
         env_counts = [1, 8] if backend == "tpu" else [1]
     max_new = int(os.environ.get("BENCH_MAX_NEW", "12"))
+    # prompt-lookup speculative decode (greedy-exact; streaming/engine
+    # _spec_loop). Default on: measured +25% 1-env / +13% batched-8 /
+    # +31% eval-loop on v5e-1 even with random weights.
+    spec_lookup = int(os.environ.get("BENCH_SPEC", "6"))
     if os.environ.get("BENCH_ACT_INT8") == "1" \
             and model_name.endswith("-int8"):
         # int8 x int8 MXU matmuls (per-token activation quant): ~27%
@@ -157,7 +161,8 @@ def main():
             max_new_tokens=max_new, stop_ids=(tok.im_end_id,),
             compute_dtype=dtype,
             buckets=(256, 512, 768, 1024, 2304, 2560, 3072),
-            fused_preprocess=os.environ.get("BENCH_FUSED_PRE") == "1")
+            fused_preprocess=os.environ.get("BENCH_FUSED_PRE") == "1",
+            spec_lookup=spec_lookup)
 
         def run_episode(n_steps, record):
             engine.reset()
@@ -225,7 +230,8 @@ def main():
             feat_slots=40, max_new_tokens=max_new,
             stop_ids=(tok.im_end_id,), compute_dtype=dtype,
             buckets=(256, 512, 768, 1024, 2304, 2560, 3072),
-            fused_preprocess=os.environ.get("BENCH_FUSED_PRE") == "1")
+            fused_preprocess=os.environ.get("BENCH_FUSED_PRE") == "1",
+            spec_lookup=spec_lookup)
         agent = VLNAgent(engine, tok, memory_prompt=MEMORY_PROMPT_EVAL)
         from streamvln_tpu.eval.env_workers import resize_rgb_transform
         env_fn = functools.partial(

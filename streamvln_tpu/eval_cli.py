@@ -21,7 +21,8 @@ def build_agent(model_path: Optional[str], model_size: str = "7b",
                 num_frames: int = 32, num_future_steps: int = 4,
                 num_history: int = 8, model_max_length: int = 4096,
                 cache_capacity: int = 4096, max_new_tokens: int = 16,
-                n_envs: int = 1, lora_adapters: Optional[str] = None):
+                n_envs: int = 1, lora_adapters: Optional[str] = None,
+                spec_lookup: int = 6):
     import jax
     import jax.numpy as jnp
     from streamvln_tpu import configs
@@ -58,7 +59,7 @@ def build_agent(model_path: Optional[str], model_size: str = "7b",
     engine = StreamingEngine(
         params, cfg, n_envs=n_envs, cache_capacity=cache_capacity,
         max_new_tokens=max_new_tokens, stop_ids=tuple(stop),
-        compute_dtype=dtype)
+        compute_dtype=dtype, spec_lookup=spec_lookup)
     return VLNAgent(engine, tok, deterministic_conjunction=False)
 
 
@@ -112,6 +113,10 @@ def main(argv=None):
     p.add_argument("--world_size", type=int,
                    default=int(os.environ.get("WORLD_SIZE", 1)))
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--spec_lookup", type=int, default=6,
+                   help="prompt-lookup speculative decode: verify this "
+                        "many drafted tokens per decode forward "
+                        "(greedy-exact; 0 disables)")
     args = p.parse_args(argv)
 
     from streamvln_tpu.eval.evaluator import VLNEvaluator
@@ -119,7 +124,8 @@ def main(argv=None):
     agent = build_agent(
         args.model_path, args.model_size, args.num_frames,
         args.num_future_steps, args.num_history, args.model_max_length,
-        n_envs=args.n_envs, lora_adapters=args.lora_adapters)
+        n_envs=args.n_envs, lora_adapters=args.lora_adapters,
+        spec_lookup=args.spec_lookup)
 
     if args.n_envs > 1:
         import functools

@@ -53,7 +53,7 @@ DEFAULT_BUCKETS = (256, 512, 768, 1024, 1536, 2048, 2560, 3072, 4096)
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new", "stop_ids", "attn_impl",
-                     "fused_pre"))
+                     "fused_pre", "spec_k"))
 def _prefill_decode(
     params,
     cfg: StreamVLNConfig,
@@ -67,6 +67,9 @@ def _prefill_decode(
     stop_ids: Tuple[int, ...],
     attn_impl: str = "auto",
     fused_pre: bool = False,
+    ids_buf: Optional[jax.Array] = None,   # [B, capacity] int32 token
+    # shadow of the KV slots (speculative drafting source)
+    spec_k: int = 0,
 ):
     """One streaming call, a single device dispatch. All per-call host
     data rides in TWO uploads (frame + packed ints) — critical when the
@@ -138,9 +141,25 @@ def _prefill_decode(
     # 4. greedy decode with early stop; inactive rows are done from the
     # start so they never extend the while loop
     stop_arr = jnp.asarray(stop_ids, jnp.int32)
-    out, n_out, cache = _greedy_loop(
-        params, cfg, cache, last_logits, max_new, stop_arr, attn_impl,
-        compute_dtype, force_done=~active)
+    if spec_k:
+        # token-id shadow of the KV slots: vision slots get -1 (never
+        # drafted through); padding past `lengths` is invisible to the
+        # bigram match (bounded by cache.length)
+        shadow = jnp.where(is_vision, jnp.int32(-1), token_ids)
+        ids_buf = jax.vmap(
+            lambda row, s, off: jax.lax.dynamic_update_slice(
+                row, s, (off,)))(ids_buf, shadow, offsets)
+        p0 = jnp.take_along_axis(
+            token_ids, jnp.maximum(lengths - 1, 0)[:, None], axis=1
+        )[:, 0]
+        out, n_out, cache, ids_buf = _spec_loop(
+            params, cfg, cache, ids_buf, last_logits, p0, max_new,
+            spec_k, stop_arr, attn_impl, compute_dtype,
+            force_done=~active)
+    else:
+        out, n_out, cache = _greedy_loop(
+            params, cfg, cache, last_logits, max_new, stop_arr,
+            attn_impl, compute_dtype, force_done=~active)
 
     # inactive rows keep their pre-call KV lengths (their dummy writes
     # land past the kept length and are never attended)
@@ -148,7 +167,7 @@ def _prefill_decode(
                     jnp.where(active, cache.length, saved_length))
     result = jnp.concatenate(
         [jnp.where(active, n_out, 0)[:, None], out], axis=1)
-    return result, cache, feat_cache
+    return result, cache, feat_cache, ids_buf
 
 
 def _greedy_loop(params, cfg, cache, last_logits, max_new: int,
@@ -206,13 +225,126 @@ def _greedy_loop(params, cfg, cache, last_logits, max_new: int,
     return out, n_out, cache
 
 
+def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
+               max_new: int, spec_k: int, stop_arr, attn_impl,
+               compute_dtype, force_done=None):
+    """Prompt-lookup speculative greedy decode (greedy-EXACT: every
+    emitted token is the argmax continuation; drafts only change how
+    many tokens one forward verifies).
+
+    Each iteration drafts spec_k tokens by bigram lookup over the
+    token-id shadow of this row's KV slots (action-decode text repeats
+    its scaffolding every round, so the most recent occurrence of
+    (prev, cur) predicts the continuation well), feeds
+    [cur, d_1..d_k] through one cached forward, and accepts the longest
+    prefix where argmax agrees with the draft — emitting between 1 and
+    k+1 tokens for ~the HBM cost of one (decode is weight-bandwidth
+    bound). Rejected slots are rolled back by NOT advancing the row's
+    KV length; the next append overwrites them.
+
+    Returns (out [B, max_new], n_out [B], cache, ids_buf)."""
+    B = last_logits.shape[0]
+    k = spec_k
+    cap = cache.capacity
+    first_tok = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+
+    def is_stop_mat(t):          # [...] -> bool same shape
+        return jnp.any(t[..., None] == stop_arr, axis=-1)
+
+    out0 = jnp.zeros((B, max_new), jnp.int32).at[:, 0].set(first_tok)
+    done0 = is_stop_mat(first_tok)
+    if force_done is not None:
+        done0 = done0 | force_done
+    n0 = jnp.ones((B,), jnp.int32)
+    done0 = done0 | (n0 >= max_new)
+
+    def draft_row(ids_row, length, p, c):
+        idx = jnp.arange(cap, dtype=jnp.int32)
+        prevs = jnp.concatenate(
+            [jnp.full((1,), -2, jnp.int32), ids_row[:-1]])
+        m = (prevs == p) & (ids_row == c) & (idx < length)
+        j = jnp.max(jnp.where(m, idx, -1))
+        dr = jax.lax.dynamic_slice(
+            ids_row, (jnp.clip(j + 1, 0, cap - k),), (k,))
+        # no match: draft an impossible id — all-reject, plain 1-token
+        # progress for that row
+        return jnp.where(j >= 0, dr, jnp.full((k,), -7, jnp.int32))
+
+    def cond(state):
+        _, _, _, _, _, _, done = state
+        return jnp.any(~done)
+
+    def body(state):
+        cache, ids_buf, p0, c0, out, n, done = state
+        drafts = jax.vmap(draft_row)(ids_buf, cache.length, p0, c0)
+        fed = jnp.concatenate([c0[:, None], drafts], axis=1)  # [B,k+1]
+        emb = qwen2.embed_tokens(
+            params["llm"], fed, cfg.llm).astype(compute_dtype)
+        pos = cache.length[:, None] + \
+            jnp.arange(k + 1, dtype=jnp.int32)[None]
+        logits, new_cache = qwen2.forward(
+            params["llm"], cfg.llm, emb, pos, cache=cache,
+            attn_impl=attn_impl)
+        truth = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B,k+1]
+
+        # longest accepted prefix: d_{i+1} must equal truth[i]
+        match = (drafts == truth[:, :k]).astype(jnp.int32)
+        m_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+        raw_emit = m_acc + 1
+        # trim at the first stop token among the emitted candidates
+        stop_m = is_stop_mat(truth)
+        in_range = jnp.arange(k + 1)[None] < raw_emit[:, None]
+        stop_in = stop_m & in_range
+        has_stop = jnp.any(stop_in, axis=1)
+        first_stop = jnp.argmax(stop_in, axis=1).astype(jnp.int32)
+        emit = jnp.where(has_stop, first_stop + 1, raw_emit)
+        # trim to the remaining token budget; done rows emit nothing
+        emit = jnp.minimum(emit, max_new - n)
+        emit = jnp.where(done, 0, emit)
+        stopped = has_stop & (first_stop + 1 <= emit)
+
+        # write emitted tokens at out[b, n_b : n_b+emit_b]
+        col = n[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None]
+        valid = jnp.arange(k + 1)[None] < emit[:, None]
+        col = jnp.where(valid, col, max_new)       # OOB -> dropped
+        out = out.at[jnp.arange(B)[:, None], col].set(truth,
+                                                      mode="drop")
+
+        # roll back rejected KV: keep exactly `emit` new entries
+        # (c0 + the accepted draft prefix); record their token ids
+        ids_buf = jax.vmap(
+            lambda row, f, off: jax.lax.dynamic_update_slice(
+                row, f, (off,)))(ids_buf, fed, cache.length)
+        new_cache = KVCache(new_cache.k, new_cache.v,
+                            cache.length + emit)
+
+        last_i = jnp.maximum(emit - 1, 0)[:, None]
+        last_tok = jnp.take_along_axis(truth, last_i, axis=1)[:, 0]
+        prev_tok = jnp.take_along_axis(
+            truth, jnp.maximum(last_i - 1, 0), axis=1)[:, 0]
+        new_c0 = jnp.where(emit > 0, last_tok, c0)
+        new_p0 = jnp.where(emit > 1, prev_tok,
+                           jnp.where(emit == 1, c0, p0))
+        n = n + emit
+        done = done | stopped | (n >= max_new)
+        return (new_cache, ids_buf, new_p0, new_c0, out, n, done)
+
+    state = (cache, ids_buf, p0_init, first_tok, out0, n0, done0)
+    cache, ids_buf, _, _, out, n, _ = jax.lax.while_loop(
+        cond, body, state)
+    return out, n, cache, ids_buf
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_new", "stop_ids", "attn_impl"))
+    jax.jit, static_argnames=("cfg", "max_new", "stop_ids", "attn_impl",
+                              "spec_k"))
 def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
                      pending: jax.Array,      # [B] int32
                      active: jax.Array,       # [B] bool
                      max_new: int, stop_ids: Tuple[int, ...],
-                     attn_impl: str = "auto"):
+                     attn_impl: str = "auto",
+                     ids_buf: Optional[jax.Array] = None,
+                     spec_k: int = 0):
     """Decode-only continuation: feed each active row's pending token
     (the last one emitted by the previous call, whose KV is absent by
     the suffix-cache convention) and greedily decode up to max_new more.
@@ -222,20 +354,30 @@ def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
     device dispatch, so streaming = a sequence of these chunk calls."""
     saved_length = cache.length
     compute_dtype = cache.k.dtype
+    if spec_k:
+        ids_buf = jax.vmap(
+            lambda row, t, off: jax.lax.dynamic_update_slice(
+                row, t[None], (off,)))(ids_buf, pending, cache.length)
     emb = qwen2.embed_tokens(params["llm"], pending[:, None],
                              cfg.llm).astype(compute_dtype)
     pos = cache.length[:, None]
     logits, cache = qwen2.forward(params["llm"], cfg.llm, emb, pos,
                                   cache=cache, attn_impl=attn_impl)
     stop_arr = jnp.asarray(stop_ids, jnp.int32)
-    out, n_out, cache = _greedy_loop(
-        params, cfg, cache, logits[:, 0], max_new, stop_arr, attn_impl,
-        compute_dtype, force_done=~active)
+    if spec_k:
+        out, n_out, cache, ids_buf = _spec_loop(
+            params, cfg, cache, ids_buf, logits[:, 0], pending,
+            max_new, spec_k, stop_arr, attn_impl, compute_dtype,
+            force_done=~active)
+    else:
+        out, n_out, cache = _greedy_loop(
+            params, cfg, cache, logits[:, 0], max_new, stop_arr,
+            attn_impl, compute_dtype, force_done=~active)
     cache = KVCache(cache.k, cache.v,
                     jnp.where(active, cache.length, saved_length))
     result = jnp.concatenate(
         [jnp.where(active, n_out, 0)[:, None], out], axis=1)
-    return result, cache
+    return result, cache, ids_buf
 
 
 @functools.partial(jax.jit,
@@ -297,7 +439,8 @@ class StreamingEngine:
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
                  compute_dtype=jnp.bfloat16,
                  attn_impl: str = "auto",
-                 fused_preprocess: bool = False):
+                 fused_preprocess: bool = False,
+                 spec_lookup: int = 0):
         self.params = params
         self.cfg = cfg
         self.n_envs = n_envs
@@ -307,8 +450,14 @@ class StreamingEngine:
         self.attn_impl = attn_impl
         self.fused_preprocess = fused_preprocess
         self.compute_dtype = compute_dtype
+        # prompt-lookup speculative decoding: verify spec_lookup drafted
+        # tokens per decode forward (greedy-exact; see _spec_loop).
+        # 0 = classic one-token-per-forward greedy.
+        self.spec_lookup = int(spec_lookup)
         self.cache = KVCache.create(cfg.llm, n_envs, cache_capacity,
                                     compute_dtype)
+        self.ids_buf = jnp.full((n_envs, cache_capacity), -1,
+                                jnp.int32) if self.spec_lookup else None
         D = cfg.llm.hidden_size
         # +1 scratch slot: inactive batch rows write their dummy-frame
         # encoding there (see _prefill_decode); hosts never assign it.
@@ -472,6 +621,9 @@ class StreamingEngine:
             # valid low slots (measured token corruption) — so the
             # padded write must fit too, not just the real tokens
             worst = max(worst, self.envs[env].kv_length + pad_to)
+            # speculative decode writes k+1 tokens per verify step, so
+            # the last accepted offset needs spec_lookup extra headroom
+            worst += self.spec_lookup
             if worst > cap:
                 raise RuntimeError(
                     f"env {env}: KV cache would overflow "
@@ -488,11 +640,13 @@ class StreamingEngine:
             meta[env, nh + 2] = 1             # active
             frames[env] = frame_u8
 
-        result, self.cache, self.feat_cache = _prefill_decode(
-            self.params, self.cfg, self.cache, self.feat_cache,
-            jnp.asarray(frames), jnp.asarray(packed), jnp.asarray(meta),
-            self.max_new, self.stop_ids, self.attn_impl,
-            self.fused_preprocess)
+        result, self.cache, self.feat_cache, self.ids_buf = \
+            _prefill_decode(
+                self.params, self.cfg, self.cache, self.feat_cache,
+                jnp.asarray(frames), jnp.asarray(packed),
+                jnp.asarray(meta), self.max_new, self.stop_ids,
+                self.attn_impl, self.fused_preprocess,
+                self.ids_buf, self.spec_lookup)
         return {"result": result, "envs": envs,
                 "prefill_lens": prefill_lens}
 
@@ -527,7 +681,7 @@ class StreamingEngine:
         if env in self._inflight:
             raise RuntimeError(
                 f"env {env} has an uncollected async handle")
-        worst = st.kv_length + 1 + self.max_new
+        worst = st.kv_length + 1 + self.max_new + self.spec_lookup
         if worst > self.cache.capacity:
             raise RuntimeError(
                 f"env {env}: KV cache would overflow ({worst} > "
@@ -536,10 +690,10 @@ class StreamingEngine:
         pending[env] = st.pending_token
         active = np.zeros((self.n_envs,), bool)
         active[env] = True
-        result, self.cache = _decode_continue(
+        result, self.cache, self.ids_buf = _decode_continue(
             self.params, self.cfg, self.cache, jnp.asarray(pending),
             jnp.asarray(active), self.max_new, self.stop_ids,
-            self.attn_impl)
+            self.attn_impl, self.ids_buf, self.spec_lookup)
         res = np.asarray(result)
         n_out = int(res[env, 0])
         toks = [int(t) for t in res[env, 1: 1 + n_out]]

@@ -322,3 +322,52 @@ def test_padded_bucket_write_guard(setup):
             ids = np.concatenate(
                 [ids, chatml.generation_prompt(tok)]).astype(np.int32)
             eng.generate(0, frame, ids, step)
+
+
+def test_spec_lookup_decode_exactness(setup):
+    """Prompt-lookup speculative decoding is greedy-EXACT: a
+    spec_lookup engine must emit identical tokens to the plain greedy
+    engine across multi-turn calls, a window boundary with <memory>,
+    and continue_decode chunks — with identical KV bookkeeping."""
+    cfg, params, tok = setup
+    greedy = make_engine(cfg, params, tok, max_new_tokens=8)
+    spec = make_engine(cfg, params, tok, max_new_tokens=8,
+                       spec_lookup=4)
+    rng = np.random.RandomState(3)
+    nf, nfs, nh = cfg.num_frames, cfg.num_future_steps, cfg.num_history
+
+    frames = {}
+    for call in range(nf // nfs):
+        step = call * nfs
+        frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        frames[step] = frame
+        text = chatml.observation_prompt(
+            None, "walk to the window" if call == 0 else "")
+        ids = _turn(tok, text, add_system=(call == 0))
+        a = greedy.generate(0, frame, ids, step_id=step)
+        b = spec.generate(0, frame, ids, step_id=step)
+        assert a == b, f"call {call}: {a} != {b}"
+        assert greedy.envs[0].kv_length == spec.envs[0].kv_length
+
+    # streaming chunk parity
+    a = greedy.continue_decode(0)
+    b = spec.continue_decode(0)
+    assert a == b
+    assert greedy.envs[0].kv_length == spec.envs[0].kv_length
+
+    # window boundary with memory
+    greedy.reset_for_env(0)
+    spec.reset_for_env(0)
+    step = nf
+    frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    hist_steps = list(range(0, nf, nf // nh))
+    text = chatml.observation_prompt(
+        None, "walk to the window These are your historical "
+        "observations <memory>.")
+    ids = _turn(tok, text, add_system=True)
+    a = greedy.generate(0, frame, ids, step_id=step,
+                        history_steps=hist_steps)
+    b = spec.generate(0, frame, ids, step_id=step,
+                      history_steps=hist_steps)
+    assert a == b, f"boundary: {a} != {b}"
+    assert greedy.envs[0].kv_length == spec.envs[0].kv_length
