@@ -197,17 +197,24 @@ def main():
             return []
 
         run_episode(2 * nf, record=False)          # warmup / compile
+        engine.decode_tokens = engine.decode_forwards = 0
         lat = run_episode(2 * nf, record=True)     # timed: 2 windows
 
         per_call_p50 = float(np.percentile(lat, 50))
         # one call covers num_future_steps env steps, for every env at once
-        return {
+        out = {
             "n_envs": n_envs,
             "hz": round(nfs * n_envs / per_call_p50, 3),
             "per_call_p50_ms": round(per_call_p50 * 1000, 2),
             "per_call_mean_ms": round(float(np.mean(lat)) * 1000, 2),
             "calls": len(lat),
         }
+        if spec_lookup and engine.decode_forwards:
+            # realized speculation acceptance: decode-loop tokens per
+            # verify forward (greedy == 1.0)
+            out["tokens_per_forward"] = round(
+                engine.decode_tokens / engine.decode_forwards, 2)
+        return out
 
     def measure_eval_loop(n_envs):
         """Full eval-LOOP throughput: batched evaluator over n_envs

@@ -152,7 +152,7 @@ def _prefill_decode(
         p0 = jnp.take_along_axis(
             token_ids, jnp.maximum(lengths - 1, 0)[:, None], axis=1
         )[:, 0]
-        out, n_out, cache, ids_buf = _spec_loop(
+        out, n_out, cache, ids_buf, iters = _spec_loop(
             params, cfg, cache, ids_buf, last_logits, p0, max_new,
             spec_k, stop_arr, attn_impl, compute_dtype,
             force_done=~active)
@@ -160,13 +160,15 @@ def _prefill_decode(
         out, n_out, cache = _greedy_loop(
             params, cfg, cache, last_logits, max_new, stop_arr,
             attn_impl, compute_dtype, force_done=~active)
+        iters = jnp.maximum(n_out - 1, 0)
 
     # inactive rows keep their pre-call KV lengths (their dummy writes
     # land past the kept length and are never attended)
     cache = KVCache(cache.k, cache.v,
                     jnp.where(active, cache.length, saved_length))
     result = jnp.concatenate(
-        [jnp.where(active, n_out, 0)[:, None], out], axis=1)
+        [jnp.where(active, n_out, 0)[:, None], out,
+         jnp.where(active, iters, 0)[:, None]], axis=1)
     return result, cache, feat_cache, ids_buf
 
 
@@ -242,7 +244,9 @@ def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
     bound). Rejected slots are rolled back by NOT advancing the row's
     KV length; the next append overwrites them.
 
-    Returns (out [B, max_new], n_out [B], cache, ids_buf)."""
+    Returns (out [B, max_new], n_out [B], cache, ids_buf,
+    iters [B] — verify-forwards per row, for acceptance telemetry:
+    accepted drafts per forward = (n_out - 1) / iters)."""
     B = last_logits.shape[0]
     k = spec_k
     cap = cache.capacity
@@ -271,11 +275,11 @@ def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
         return jnp.where(j >= 0, dr, jnp.full((k,), -7, jnp.int32))
 
     def cond(state):
-        _, _, _, _, _, _, done = state
+        done = state[6]
         return jnp.any(~done)
 
     def body(state):
-        cache, ids_buf, p0, c0, out, n, done = state
+        cache, ids_buf, p0, c0, out, n, done, iters = state
         drafts = jax.vmap(draft_row)(ids_buf, cache.length, p0, c0)
         fed = jnp.concatenate([c0[:, None], drafts], axis=1)  # [B,k+1]
         emb = qwen2.embed_tokens(
@@ -325,14 +329,16 @@ def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
         new_c0 = jnp.where(emit > 0, last_tok, c0)
         new_p0 = jnp.where(emit > 1, prev_tok,
                            jnp.where(emit == 1, c0, p0))
+        iters = iters + (~done).astype(jnp.int32)
         n = n + emit
         done = done | stopped | (n >= max_new)
-        return (new_cache, ids_buf, new_p0, new_c0, out, n, done)
+        return (new_cache, ids_buf, new_p0, new_c0, out, n, done, iters)
 
-    state = (cache, ids_buf, p0_init, first_tok, out0, n0, done0)
-    cache, ids_buf, _, _, out, n, _ = jax.lax.while_loop(
+    state = (cache, ids_buf, p0_init, first_tok, out0, n0, done0,
+             jnp.zeros((B,), jnp.int32))
+    cache, ids_buf, _, _, out, n, _, iters = jax.lax.while_loop(
         cond, body, state)
-    return out, n, cache, ids_buf
+    return out, n, cache, ids_buf, iters
 
 
 @functools.partial(
@@ -365,7 +371,7 @@ def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
                                   cache=cache, attn_impl=attn_impl)
     stop_arr = jnp.asarray(stop_ids, jnp.int32)
     if spec_k:
-        out, n_out, cache, ids_buf = _spec_loop(
+        out, n_out, cache, ids_buf, iters = _spec_loop(
             params, cfg, cache, ids_buf, logits[:, 0], pending,
             max_new, spec_k, stop_arr, attn_impl, compute_dtype,
             force_done=~active)
@@ -373,10 +379,12 @@ def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
         out, n_out, cache = _greedy_loop(
             params, cfg, cache, logits[:, 0], max_new, stop_arr,
             attn_impl, compute_dtype, force_done=~active)
+        iters = jnp.maximum(n_out - 1, 0)
     cache = KVCache(cache.k, cache.v,
                     jnp.where(active, cache.length, saved_length))
     result = jnp.concatenate(
-        [jnp.where(active, n_out, 0)[:, None], out], axis=1)
+        [jnp.where(active, n_out, 0)[:, None], out,
+         jnp.where(active, iters, 0)[:, None]], axis=1)
     return result, cache, ids_buf
 
 
@@ -467,6 +475,11 @@ class StreamingEngine:
             compute_dtype)
         self.envs = [EnvState() for _ in range(n_envs)]
         self._inflight: set = set()
+        # decode telemetry: loop tokens emitted vs verify forwards run
+        # (greedy: 1 token/forward; spec: up to spec_lookup+1).
+        # tokens_per_forward > 1 == realized speculation acceptance.
+        self.decode_tokens = 0
+        self.decode_forwards = 0
 
     # -- reset ----------------------------------------------------------
     def reset(self):
@@ -659,6 +672,8 @@ class StreamingEngine:
         for env in handle["envs"]:
             n_out = int(res[env, 0])
             toks = [int(t) for t in res[env, 1: 1 + n_out]]
+            self.decode_tokens += max(n_out - 1, 0)
+            self.decode_forwards += int(res[env, 1 + self.max_new])
             if toks:
                 self.envs[env].pending_token = toks[-1]
             # device KV grew by the prefill plus each decode token fed
@@ -697,6 +712,8 @@ class StreamingEngine:
         res = np.asarray(result)
         n_out = int(res[env, 0])
         toks = [int(t) for t in res[env, 1: 1 + n_out]]
+        self.decode_tokens += max(n_out - 1, 0)
+        self.decode_forwards += int(res[env, 1 + self.max_new])
         if toks:
             st.pending_token = toks[-1]
         st.kv_length += 1 + max(n_out - 1, 0)
