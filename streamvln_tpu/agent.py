@@ -135,7 +135,9 @@ class VLNAgent:
     def step(self, idx: int, rgb: np.ndarray, instruction_text: str = "",
              run_model: bool = False, depth: Optional[np.ndarray] = None,
              pose: Optional[np.ndarray] = None,
-             intrinsic: Optional[np.ndarray] = None
+             intrinsic: Optional[np.ndarray] = None,
+             temperature: Optional[float] = None,
+             top_p: Optional[float] = None
              ) -> Tuple[Optional[List[int]], float, Optional[str]]:
         """One env step. Returns (action_seq, generate_time, llm_text);
         (None, 0, None) on non-model steps — reference signature parity
@@ -156,7 +158,8 @@ class VLNAgent:
 
         req = self.prepare_model_step(idx, rgb, instruction_text)
         t0 = time.perf_counter()
-        out_tokens = self.engine.generate_batch([req["request"]])[idx]
+        out_tokens = self.engine.generate_batch(
+            [req["request"]], temperature=temperature, top_p=top_p)[idx]
         gen_time = time.perf_counter() - t0
         self.finish_model_step(idx)
 

@@ -29,13 +29,18 @@ import numpy as np
 
 
 class _Pending:
-    __slots__ = ("prompt", "rgb", "max_new", "done", "result")
+    __slots__ = ("prompt", "rgb", "max_new", "temperature", "top_p",
+                 "done", "result")
 
     def __init__(self, prompt: str, rgb: np.ndarray,
-                 max_new: Optional[int] = None):
+                 max_new: Optional[int] = None,
+                 temperature: Optional[float] = None,
+                 top_p: Optional[float] = None):
         self.prompt = prompt
         self.rgb = rgb
         self.max_new = max_new
+        self.temperature = temperature
+        self.top_p = top_p
         self.done = threading.Event()
         self.result: Optional[dict] = None
 
@@ -67,14 +72,16 @@ class BatchedWorker:
 
     # -- client side ----------------------------------------------------
     def generate(self, prompt: str, image_b64: Optional[str] = None,
-                 max_new_tokens: Optional[int] = None) -> dict:
+                 max_new_tokens: Optional[int] = None,
+                 temperature: Optional[float] = None,
+                 top_p: Optional[float] = None) -> dict:
         if image_b64 is not None:
             from PIL import Image
             rgb = np.asarray(Image.open(io.BytesIO(
                 base64.b64decode(image_b64))).convert("RGB"))
         else:
             rgb = np.zeros((384, 384, 3), np.uint8)
-        pend = _Pending(prompt, rgb, max_new_tokens)
+        pend = _Pending(prompt, rgb, max_new_tokens, temperature, top_p)
         self.requests.put(pend)
         pend.done.wait()
         return pend.result
@@ -104,12 +111,21 @@ class BatchedWorker:
                 continue
             try:
                 engine_reqs = []
+                # coalesced rows may carry different sampling params —
+                # pass per-env dicts (engine._sample_params rows them)
+                temps, tops = {}, {}
                 for slot, pend in enumerate(wave):
                     self.agent.reset_memory(slot)
                     req = self.agent.prepare_model_step(
                         slot, pend.rgb, pend.prompt)
                     engine_reqs.append(req["request"])
-                outs = self.engine.generate_batch(engine_reqs)
+                    if pend.temperature is not None:
+                        temps[slot] = float(pend.temperature)
+                    if pend.top_p is not None:
+                        tops[slot] = float(pend.top_p)
+                outs = self.engine.generate_batch(
+                    engine_reqs,
+                    temperature=temps or None, top_p=tops or None)
                 for slot, pend in enumerate(wave):
                     self.agent.finish_model_step(slot)
                     toks = outs[slot]
@@ -158,7 +174,8 @@ def make_handler(worker: BatchedWorker):
             elif self.path == "/worker_generate":
                 self._reply(worker.generate(
                     data.get("prompt", ""), data.get("image_b64"),
-                    data.get("max_new_tokens")))
+                    data.get("max_new_tokens"),
+                    data.get("temperature"), data.get("top_p")))
             else:
                 self._reply({"error": "unknown route"}, 404)
 

@@ -31,7 +31,13 @@ def main(argv=None):
                         "engine.continue_decode)")
     p.add_argument("--stream_budget", type=int, default=64,
                    help="total decode budget in --stream mode")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="sampling temperature (<=0.001 is greedy, "
+                        "reference serving semantics)")
+    p.add_argument("--top_p", type=float, default=1.0,
+                   help="nucleus sampling cutoff")
     args = p.parse_args(argv)
+    sample_kw = dict(temperature=args.temperature, top_p=args.top_p)
 
     from streamvln_tpu.eval_cli import build_agent
     agent = build_agent(args.model_path, args.model_size,
@@ -51,14 +57,14 @@ def main(argv=None):
             from streamvln_tpu.data import chatml
             eng = agent.engine
             req = agent.prepare_model_step(0, rgb, text)
-            toks = eng.generate_batch([req["request"]])[0]
+            toks = eng.generate_batch([req["request"]], **sample_kw)[0]
             agent.finish_model_step(0)
             stops = set(eng.stop_ids)
             all_toks = list(toks)
             print(agent.tok.decode(all_toks), end="", flush=True)
             while (toks and len(all_toks) < args.stream_budget
                    and all_toks[-1] not in stops):
-                toks = eng.continue_decode(0)
+                toks = eng.continue_decode(0, **sample_kw)
                 all_toks.extend(toks)
                 print(agent.tok.decode(toks), end="", flush=True)
             print(flush=True)
@@ -66,7 +72,8 @@ def main(argv=None):
                 agent.tok.decode(all_toks)) or [0]
             print(json.dumps({"actions": actions}), flush=True)
             return
-        actions, gen_t, out = agent.step(0, rgb, text, run_model=True)
+        actions, gen_t, out = agent.step(0, rgb, text, run_model=True,
+                                         **sample_kw)
         print(json.dumps({"text": out, "actions": actions,
                           "generate_s": round(gen_t, 3)}), flush=True)
 

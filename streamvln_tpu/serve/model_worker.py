@@ -83,7 +83,9 @@ class ModelWorker:
 
     # -- generation --------------------------------------------------------
     def generate(self, prompt: str, image_b64: Optional[str] = None,
-                 max_new_tokens: Optional[int] = None) -> dict:
+                 max_new_tokens: Optional[int] = None,
+                 temperature: Optional[float] = None,
+                 top_p: Optional[float] = None) -> dict:
         with self.lock:
             self.queue_length += 1
             try:
@@ -95,7 +97,8 @@ class ModelWorker:
                     rgb = np.zeros((384, 384, 3), np.uint8)
                 self.agent.reset_memory(0)
                 actions, gen_t, text = self.agent.step(
-                    0, rgb, prompt, run_model=True)
+                    0, rgb, prompt, run_model=True,
+                    temperature=temperature, top_p=top_p)
                 return {"text": text, "actions": actions,
                         "generate_time": gen_t, "error_code": 0}
             except Exception as e:  # noqa: BLE001 — report to client
@@ -105,7 +108,9 @@ class ModelWorker:
 
     def generate_stream(self, prompt: str,
                         image_b64: Optional[str] = None,
-                        max_new_tokens: Optional[int] = None):
+                        max_new_tokens: Optional[int] = None,
+                        temperature: Optional[float] = None,
+                        top_p: Optional[float] = None):
         """Yield cumulative-text chunk dicts (reference protocol: each
         chunk carries the full text so far,
         llava/serve/model_worker.py:126-180 generate_stream). The
@@ -125,7 +130,9 @@ class ModelWorker:
                 self.agent.reset_memory(0)
                 eng = self.agent.engine
                 req = self.agent.prepare_model_step(0, rgb, prompt)
-                toks = eng.generate(*req["request"])
+                toks = eng.generate(*req["request"],
+                                    temperature=temperature,
+                                    top_p=top_p)
                 self.agent.finish_model_step(0)
                 stops = set(eng.stop_ids)
                 budget = int(max_new_tokens) if max_new_tokens \
@@ -135,7 +142,9 @@ class ModelWorker:
                        "error_code": 0}
                 while (toks and len(all_toks) < budget
                        and all_toks[-1] not in stops):
-                    toks = eng.continue_decode(0)
+                    toks = eng.continue_decode(0,
+                                               temperature=temperature,
+                                               top_p=top_p)
                     all_toks.extend(toks)
                     del all_toks[budget:]
                     if toks:
@@ -171,7 +180,8 @@ def make_handler(worker: ModelWorker):
             elif self.path == "/worker_generate":
                 self._reply(worker.generate(
                     data.get("prompt", ""), data.get("image_b64"),
-                    data.get("max_new_tokens")))
+                    data.get("max_new_tokens"),
+                    data.get("temperature"), data.get("top_p")))
             elif self.path == "/worker_generate_stream":
                 # reference wire format: \0-delimited JSON chunks,
                 # cumulative text, close-delimited response
@@ -184,7 +194,9 @@ def make_handler(worker: ModelWorker):
                     for chunk in worker.generate_stream(
                             data.get("prompt", ""),
                             data.get("image_b64"),
-                            data.get("max_new_tokens")):
+                            data.get("max_new_tokens"),
+                            data.get("temperature"),
+                            data.get("top_p")):
                         self.wfile.write(
                             json.dumps(chunk).encode() + b"\0")
                         self.wfile.flush()

@@ -38,6 +38,10 @@ PAGE = """<!doctype html>
  <label>Model <select id="model"></select></label>
  <label>Max new tokens <input id="mnt" type="number" value="64"
   style="width:5em"></label>
+ <label>Temperature <input id="temp" type="number" value="0" min="0"
+  max="2" step="0.1" style="width:4em"></label>
+ <label>Top-p <input id="topp" type="number" value="1" min="0" max="1"
+  step="0.05" style="width:4em"></label>
  <label>Image <input id="img" type="file" accept="image/*"></label>
 </div>
 <div id="log"></div>
@@ -67,7 +71,9 @@ async function send(){
   log('u','user: '+prompt);
   const body={model:document.getElementById('model').value,
               prompt:prompt,
-              max_new_tokens:+document.getElementById('mnt').value};
+              max_new_tokens:+document.getElementById('mnt').value,
+              temperature:+document.getElementById('temp').value,
+              top_p:+document.getElementById('topp').value};
   const f=document.getElementById('img').files[0];
   if(f){
     body.image_b64=await new Promise(res=>{
@@ -167,6 +173,8 @@ def make_handler(controller_url: str):
                             "image_b64": data.get("image_b64"),
                             "max_new_tokens":
                                 data.get("max_new_tokens"),
+                            "temperature": data.get("temperature"),
+                            "top_p": data.get("top_p"),
                         }).encode(),
                         headers={"Content-Type": "application/json"})
                     with urllib.request.urlopen(req,
@@ -193,6 +201,8 @@ def make_handler(controller_url: str):
                         "prompt": data.get("prompt", ""),
                         "image_b64": data.get("image_b64"),
                         "max_new_tokens": data.get("max_new_tokens"),
+                        "temperature": data.get("temperature"),
+                        "top_p": data.get("top_p"),
                     }))
                 else:
                     self._reply({"error": "unknown route"}, 404)

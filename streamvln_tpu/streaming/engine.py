@@ -70,6 +70,8 @@ def _prefill_decode(
     ids_buf: Optional[jax.Array] = None,   # [B, capacity] int32 token
     # shadow of the KV slots (speculative drafting source)
     spec_k: int = 0,
+    sample_params=None,       # (temp [B], top_p [B], key) -> sampling
+    # decode (serving do_sample parity); overrides spec_k
 ):
     """One streaming call, a single device dispatch. All per-call host
     data rides in TWO uploads (frame + packed ints) — critical when the
@@ -141,7 +143,14 @@ def _prefill_decode(
     # 4. greedy decode with early stop; inactive rows are done from the
     # start so they never extend the while loop
     stop_arr = jnp.asarray(stop_ids, jnp.int32)
-    if spec_k:
+    if sample_params is not None:
+        temp, top_p, key = sample_params
+        out, n_out, cache = _sample_loop(
+            params, cfg, cache, last_logits, max_new, stop_arr,
+            attn_impl, compute_dtype, temp, top_p, key,
+            force_done=~active)
+        iters = jnp.maximum(n_out - 1, 0)
+    elif spec_k:
         # token-id shadow of the KV slots: vision slots get -1 (never
         # drafted through); padding past `lengths` is invisible to the
         # bigram match (bounded by cache.length)
@@ -219,6 +228,78 @@ def _greedy_loop(params, cfg, cache, last_logits, max_new: int,
     cache, _, out, n_steps, _ = jax.lax.while_loop(cond, body, state)
 
     # count real tokens per row: tokens up to and including first stop
+    stop_mask = jnp.any(out[:, :, None] == stop_arr[None, None, :],
+                        axis=-1)
+    has_stop = jnp.any(stop_mask, axis=1)
+    first_stop = jnp.argmax(stop_mask, axis=1)
+    n_out = jnp.where(has_stop, first_stop + 1, n_steps)
+    return out, n_out, cache
+
+
+def _sample_tok(logits, temp, top_p, key):
+    """Temperature + nucleus (top-p) token pick, HF-semantics
+    (TopPLogitsWarper: sort desc, drop tokens once the cumulative
+    probability BEFORE them exceeds top_p, always keep the best;
+    reference serving: llava/serve/model_worker.py:143-167).
+    Rows with temp ~ 0 take the argmax (HF do_sample gate at 0.001)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lg = (logits / jnp.maximum(temp, 1e-6)[:, None]).astype(jnp.float32)
+    sl = jnp.sort(lg, axis=-1)[:, ::-1]
+    pr = jax.nn.softmax(sl, axis=-1)
+    before = jnp.cumsum(pr, axis=-1) - pr
+    kth = jnp.maximum(jnp.sum(before <= top_p[:, None], axis=-1) - 1, 0)
+    thresh = jnp.take_along_axis(sl, kth[:, None], axis=-1)
+    masked = jnp.where(lg >= thresh, lg, -jnp.inf)
+    sampled = jax.random.categorical(key, masked, axis=-1)
+    return jnp.where(temp > 1e-3, sampled.astype(jnp.int32), greedy)
+
+
+def _sample_loop(params, cfg, cache, last_logits, max_new: int,
+                 stop_arr, attn_impl, compute_dtype, temp, top_p, key,
+                 force_done=None):
+    """Sampling twin of _greedy_loop: temperature/top-p categorical
+    picks instead of argmax (serving parity with the reference's
+    do_sample generate; llava/serve/model_worker.py:148-167). Same KV
+    bookkeeping and stop semantics."""
+    B = last_logits.shape[0]
+    key, sub = jax.random.split(key)
+    first_tok = _sample_tok(last_logits, temp, top_p, sub)
+
+    def is_stop(t):
+        return jnp.any(t[:, None] == stop_arr[None, :], axis=-1)
+
+    out0 = jnp.zeros((B, max_new), jnp.int32).at[:, 0].set(first_tok)
+
+    def cond(state):
+        _, _, _, n, done, _ = state
+        return jnp.logical_and(jnp.any(~done), n < max_new)
+
+    def body(state):
+        cache, cur, out, n, done, key = state
+        emb = qwen2.embed_tokens(params["llm"], cur[:, None],
+                                 cfg.llm).astype(compute_dtype)
+        pos = cache.length[:, None]
+        logits, new_cache = qwen2.forward(
+            params["llm"], cfg.llm, emb, pos, cache=cache,
+            attn_impl=attn_impl)
+        key, sub = jax.random.split(key)
+        nxt = _sample_tok(logits[:, 0], temp, top_p, sub)
+        new_cache = KVCache(
+            new_cache.k, new_cache.v,
+            jnp.where(done, cache.length, new_cache.length))
+        out = jnp.where(done[:, None], out,
+                        jax.vmap(lambda o, t, i: o.at[i].set(t))(
+                            out, nxt, jnp.full((B,), 0, jnp.int32) + n))
+        done_next = done | is_stop(nxt)
+        cur = jnp.where(done_next, cur, nxt)
+        return (new_cache, cur, out, n + 1, done_next, key)
+
+    done0 = is_stop(first_tok)
+    if force_done is not None:
+        done0 = jnp.logical_or(done0, force_done)
+    state = (cache, first_tok, out0, jnp.int32(1), done0, key)
+    cache, _, out, n_steps, _, _ = jax.lax.while_loop(cond, body, state)
+
     stop_mask = jnp.any(out[:, :, None] == stop_arr[None, None, :],
                         axis=-1)
     has_stop = jnp.any(stop_mask, axis=1)
@@ -350,7 +431,8 @@ def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
                      max_new: int, stop_ids: Tuple[int, ...],
                      attn_impl: str = "auto",
                      ids_buf: Optional[jax.Array] = None,
-                     spec_k: int = 0):
+                     spec_k: int = 0,
+                     sample_params=None):
     """Decode-only continuation: feed each active row's pending token
     (the last one emitted by the previous call, whose KV is absent by
     the suffix-cache convention) and greedily decode up to max_new more.
@@ -370,7 +452,14 @@ def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
     logits, cache = qwen2.forward(params["llm"], cfg.llm, emb, pos,
                                   cache=cache, attn_impl=attn_impl)
     stop_arr = jnp.asarray(stop_ids, jnp.int32)
-    if spec_k:
+    if sample_params is not None:
+        temp, top_p, key = sample_params
+        out, n_out, cache = _sample_loop(
+            params, cfg, cache, logits[:, 0], max_new, stop_arr,
+            attn_impl, compute_dtype, temp, top_p, key,
+            force_done=~active)
+        iters = jnp.maximum(n_out - 1, 0)
+    elif spec_k:
         out, n_out, cache, ids_buf, iters = _spec_loop(
             params, cfg, cache, ids_buf, logits[:, 0], pending,
             max_new, spec_k, stop_arr, attn_impl, compute_dtype,
@@ -480,6 +569,10 @@ class StreamingEngine:
         # tokens_per_forward > 1 == realized speculation acceptance.
         self.decode_tokens = 0
         self.decode_forwards = 0
+        # sampling RNG stream: seed + per-call counter (deterministic
+        # given the seed and call order)
+        self.sample_seed = 0
+        self._sample_calls = 0
 
     # -- reset ----------------------------------------------------------
     def reset(self):
@@ -562,6 +655,33 @@ class StreamingEngine:
                 self.cfg.num_history * self.cfg.tokens_per_frame)
         return layout, hist_slots, write_slot
 
+    def _sample_params(self, temperature, top_p):
+        """(temp [B], top_p [B], key) for a sampling call, or None for
+        greedy (HF do_sample gate: temperature <= 0.001 is greedy —
+        reference llava/serve/model_worker.py:148). Scalars apply to
+        all rows; dicts ({env: value}) give per-row settings for
+        coalesced batches — rows at temp 0 take the exact argmax."""
+        B = self.n_envs
+
+        def row_values(v, default):
+            if v is None:
+                return np.full((B,), default, np.float32)
+            if isinstance(v, dict):
+                out = np.full((B,), default, np.float32)
+                for e, x in v.items():
+                    out[int(e)] = float(x)
+                return out
+            return np.full((B,), float(v), np.float32)
+
+        temps = row_values(temperature, 0.0)
+        if not np.any(temps > 1e-3):
+            return None
+        self._sample_calls += 1
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.sample_seed), self._sample_calls)
+        return (jnp.asarray(temps),
+                jnp.asarray(row_values(top_p, 1.0)), key)
+
     def generate(
         self,
         env: int,
@@ -569,17 +689,23 @@ class StreamingEngine:
         turn_ids: np.ndarray,            # int32 ids incl. sentinels
         step_id: int,
         history_steps: Sequence[int] = (),
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
     ) -> List[int]:
         """Run one model call for one env. Returns generated token ids
         (up to and including the stop token)."""
         return self.generate_batch(
-            [(env, frame_u8, turn_ids, step_id, history_steps)])[env]
+            [(env, frame_u8, turn_ids, step_id, history_steps)],
+            temperature=temperature, top_p=top_p)[env]
 
-    def generate_batch(self, requests) -> dict:
+    def generate_batch(self, requests, temperature=None,
+                       top_p=None) -> dict:
         """Blocking batched call: dispatch + collect."""
-        return self.collect(self.generate_batch_async(requests))
+        return self.collect(self.generate_batch_async(
+            requests, temperature=temperature, top_p=top_p))
 
-    def generate_batch_async(self, requests) -> dict:
+    def generate_batch_async(self, requests, temperature=None,
+                             top_p=None) -> dict:
         """Run model calls for SEVERAL envs in one device dispatch.
 
         requests: iterable of (env, frame_u8, turn_ids, step_id,
@@ -659,7 +785,8 @@ class StreamingEngine:
                 jnp.asarray(frames), jnp.asarray(packed),
                 jnp.asarray(meta), self.max_new, self.stop_ids,
                 self.attn_impl, self.fused_preprocess,
-                self.ids_buf, self.spec_lookup)
+                self.ids_buf, self.spec_lookup,
+                self._sample_params(temperature, top_p))
         return {"result": result, "envs": envs,
                 "prefill_lens": prefill_lens}
 
@@ -683,7 +810,9 @@ class StreamingEngine:
             out[env] = toks
         return out
 
-    def continue_decode(self, env: int) -> List[int]:
+    def continue_decode(self, env: int,
+                        temperature: Optional[float] = None,
+                        top_p: Optional[float] = None) -> List[int]:
         """Decode one more chunk (up to max_new_tokens) for `env` from
         its pending token, without a new frame or turn. The serving
         token-streaming primitive: generate() + continue_decode()* is
@@ -708,7 +837,8 @@ class StreamingEngine:
         result, self.cache, self.ids_buf = _decode_continue(
             self.params, self.cfg, self.cache, jnp.asarray(pending),
             jnp.asarray(active), self.max_new, self.stop_ids,
-            self.attn_impl, self.ids_buf, self.spec_lookup)
+            self.attn_impl, self.ids_buf, self.spec_lookup,
+            self._sample_params(temperature, top_p))
         res = np.asarray(result)
         n_out = int(res[env, 0])
         toks = [int(t) for t in res[env, 1: 1 + n_out]]
