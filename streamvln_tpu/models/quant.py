@@ -90,7 +90,11 @@ def _int8_dot_bwd(res, g):
 _int8_dot.defvjp(_int8_dot_fwd, _int8_dot_bwd)
 
 
-INT4_GROUP = 128
+# 64 keeps the fused dequant-matmul kernel's per-block scale slice
+# sublane-aligned (ops/int4_matmul.py: 8 groups per 512-row k block)
+# and is the finer-grained (higher-quality) half of the standard
+# int4 group-size pair {64, 128}.
+INT4_GROUP = 64
 
 
 def quantize_weight_int4(w: jax.Array, group: int = INT4_GROUP

@@ -292,7 +292,8 @@ def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos,
                            bias=bias)
 
 
-def _proj(x, p, name, lora_scale=None, act_int8=False):
+def _proj(x, p, name, lora_scale=None, act_int8=False, int4_stk=None,
+          layer_idx=None):
     """x @ p[name] (+ bias if present) with optional LoRA delta.
 
     int8 weights (models/quant.py): per-output-column scales commute
@@ -302,17 +303,44 @@ def _proj(x, p, name, lora_scale=None, act_int8=False):
     full-precision weight copy (2x decode HBM traffic otherwise).
     act_int8 additionally quantizes the activations per-token so the
     contraction runs int8 x int8 -> int32 on the MXU (2x peak; for
-    compute-bound prefill, cfg.act_int8)."""
-    w = p[name]
-    scale = None
-    if w.dtype == jnp.uint8:
-        # packed int4: group-wise scales do not commute with the
-        # contraction — unpack+dequantize in the dot's operand stream
-        # (the HBM read stays at the packed footprint, half of int8;
-        # models/quant.py)
+    compute-bound prefill, cfg.act_int8).
+
+    int4_stk + layer_idx: kernel-eligible packed-int4 weights arrive
+    STACKED [L, din/2, dout] (pulled out of the layer scan's xs by
+    `forward`) and dispatch to the fused dequant-matmul Pallas kernel
+    (ops/int4_matmul.py) for small row counts — decode streams the
+    packed 0.5 B/weight straight from HBM. Large row counts (prefill)
+    fall back to a per-layer materialized dequant, which the dense
+    MXU dot then amortizes across rows."""
+    if int4_stk is not None and name in int4_stk:
+        from streamvln_tpu.ops.int4_matmul import (
+            KERNEL_MAX_ROWS, int4_matmul)
+        wq, sq = int4_stk[name], int4_stk[name + "_scale"]
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if x2.shape[0] <= KERNEL_MAX_ROWS:
+            out = int4_matmul(x2, wq, sq, layer_idx,
+                              jax.default_backend() != "tpu")
+        else:
+            from streamvln_tpu.models.quant import dequant_int4
+            wl = jax.lax.dynamic_index_in_dim(wq, layer_idx, 0,
+                                              keepdims=False)
+            sl = jax.lax.dynamic_index_in_dim(sq, layer_idx, 0,
+                                              keepdims=False)
+            out = jnp.dot(x2, dequant_int4(wl, sl, x.dtype),
+                          preferred_element_type=jnp.float32)
+        out = out.reshape(*lead, wq.shape[-1])
+        w = None
+        scale = None
+    elif p[name].dtype == jnp.uint8:
+        # packed int4 outside the stacked-kernel path (unstacked or
+        # ineligible shapes): group-wise scales do not commute with the
+        # contraction — materialize the dequant (models/quant.py)
         from streamvln_tpu.models.quant import dequant_int4
-        w = dequant_int4(w, p[name + "_scale"], x.dtype)
-    elif w.dtype == jnp.int8:
+        w = dequant_int4(p[name], p[name + "_scale"], x.dtype)
+        scale = None
+    elif p[name].dtype == jnp.int8:
+        w = p[name]
         scale = p[name + "_scale"].astype(jnp.float32)  # [.., 1, dout]
         if act_int8:
             from streamvln_tpu.models.quant import int8_dynamic_matmul
@@ -321,6 +349,9 @@ def _proj(x, p, name, lora_scale=None, act_int8=False):
             w = None
         else:
             w = w.astype(x.dtype)
+    else:
+        w = p[name]
+        scale = None
     if w is not None:
         out = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if scale is not None:
@@ -457,7 +488,8 @@ def _moe_mlp(cfg: Qwen2Config, h: jax.Array, p) -> jax.Array:
 def _layer_step(cfg: Qwen2Config, attn_impl: str,
                 carry, layer_params,
                 positions, k_pos, cache_kv=None, cache_offsets=None,
-                lora_scale=None, mlp_chunk=None):
+                lora_scale=None, mlp_chunk=None, int4_stk=None,
+                layer_idx=None):
     """One decoder block. carry = hidden states [B, S, Dm].
 
     k_pos: positions of keys — in-sequence positions (no cache) or cache
@@ -477,11 +509,13 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
     off = 1.0 if cfg.norm_offset else 0.0   # gemma: scale = 1 + w
     h = _norm(x, p["ln1"] + off if off else p["ln1"], cfg)
     ai8 = cfg.act_int8
-    q = _proj(h, p, "q_w", lora_scale, ai8).reshape(B, S, Hq, Dh)
-    k = _proj(h, p, "k_w", lora_scale, ai8).reshape(B, S, Hkv,
-                                                    Dh)
-    v = _proj(h, p, "v_w", lora_scale, ai8).reshape(B, S, Hkv,
-                                                    Dh)
+    i4, li = int4_stk, layer_idx
+    q = _proj(h, p, "q_w", lora_scale, ai8, i4, li).reshape(
+        B, S, Hq, Dh)
+    k = _proj(h, p, "k_w", lora_scale, ai8, i4, li).reshape(
+        B, S, Hkv, Dh)
+    v = _proj(h, p, "v_w", lora_scale, ai8, i4, li).reshape(
+        B, S, Hkv, Dh)
 
     attn_bias = None
     if cfg.positional == "rope":
@@ -525,7 +559,7 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
         new_cache = None
 
     attn = attn.reshape(B, S, Hq * Dh)
-    x = x + _proj(attn, p, "o_w", lora_scale, ai8)
+    x = x + _proj(attn, p, "o_w", lora_scale, ai8, i4, li)
 
     h = _norm(x, p["ln2"] + off if off else p["ln2"], cfg)
     if cfg.num_experts:
@@ -534,14 +568,14 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
         act_fn = _mlp_act_fn(cfg.mlp_act)
 
         def _mlp(hb):
-            up = _proj(hb, p, "up_w", lora_scale, ai8)
+            up = _proj(hb, p, "up_w", lora_scale, ai8, i4, li)
             if cfg.mlp_gated:
-                gate = _proj(hb, p, "gate_w", lora_scale, ai8)
+                gate = _proj(hb, p, "gate_w", lora_scale, ai8, i4, li)
                 act = (act_fn(gate.astype(jnp.float32))
                        * up.astype(jnp.float32)).astype(x.dtype)
             else:
                 act = act_fn(up.astype(jnp.float32)).astype(x.dtype)
-            return _proj(act, p, "down_w", lora_scale, ai8)
+            return _proj(act, p, "down_w", lora_scale, ai8, i4, li)
 
         if mlp_chunk and S > mlp_chunk and S % mlp_chunk == 0:
             # token-chunked, per-chunk-rematted MLP: identical math per
@@ -560,6 +594,30 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
 
 
 INVALID_POS = 1 << 30
+
+_INT4_KERNEL_NAMES = ("q_w", "k_w", "v_w", "o_w",
+                      "gate_w", "up_w", "down_w")
+
+
+def _split_int4_stacks(layers):
+    """Pull kernel-eligible packed-int4 projection stacks out of the
+    scanned layer pytree so the layer scans close over them: the fused
+    dequant-matmul kernel (ops/int4_matmul.py) reads the whole
+    [L, din/2, dout] stack from HBM and scalar-prefetches the layer
+    index, so riding the scan xs would materialize a per-layer operand
+    copy for nothing. Returns (scan_layers, stk-or-None)."""
+    from streamvln_tpu.ops.int4_matmul import int4_kernel_eligible
+    stk = {}
+    rest = dict(layers)
+    for name in _INT4_KERNEL_NAMES:
+        w = layers.get(name)
+        s = layers.get(name + "_scale")
+        if w is not None and s is not None \
+                and getattr(w, "dtype", None) == jnp.uint8 \
+                and int4_kernel_eligible(w, s):
+            stk[name] = rest.pop(name)
+            stk[name + "_scale"] = rest.pop(name + "_scale")
+    return rest, (stk or None)
 
 
 def forward(
@@ -601,6 +659,7 @@ def forward(
         offsets = cache.length
 
         lora_scale = params.get("lora_scale")
+        scan_layers, int4_stk = _split_int4_stacks(params["layers"])
 
         def step(carry, xs):
             x, kc, vc = carry
@@ -608,13 +667,14 @@ def forward(
             x, (kc, vc) = _layer_step(
                 cfg, attn_impl, x, lp, positions, k_pos,
                 cache_kv=(kc, vc, layer_idx), cache_offsets=offsets,
-                lora_scale=lora_scale)
+                lora_scale=lora_scale, int4_stk=int4_stk,
+                layer_idx=layer_idx)
             return (x, kc, vc), None
 
         step_fn = jax.checkpoint(step) if remat else step
         (x, new_k, new_v), _ = jax.lax.scan(
             step_fn, (x, cache.k, cache.v),
-            (params["layers"],
+            (scan_layers,
              jnp.arange(cfg.num_layers, dtype=jnp.int32)))
         new_cache = KVCache(new_k, new_v, cache.length + new_lengths)
     else:
@@ -624,11 +684,14 @@ def forward(
             k_pos = jnp.where(valid, positions, INVALID_POS)
 
         lora_scale = params.get("lora_scale")
+        scan_layers, int4_stk = _split_int4_stacks(params["layers"])
 
-        def step(carry, lp):
+        def step(carry, xs):
+            lp, idx = xs
             x, _ = _layer_step(cfg, attn_impl, carry, lp, positions,
                                k_pos, lora_scale=lora_scale,
-                               mlp_chunk=mlp_chunk)
+                               mlp_chunk=mlp_chunk, int4_stk=int4_stk,
+                               layer_idx=idx)
             return x, None
 
         step_fn = jax.checkpoint(step) if remat else step
@@ -652,7 +715,7 @@ def forward(
             # dozens of per-layer f32 temps live (measured 33.9 GB).
             # Index-scan keeps per-layer slices transient (65 MB) and
             # the graph serialized.
-            layers = params["layers"]
+            layers = scan_layers
             n_outer = cfg.num_layers // remat_chunk
 
             def one_layer(y, idx):
@@ -662,7 +725,8 @@ def forward(
                 y2, _ = _layer_step(cfg, attn_impl, y, lp,
                                     positions, k_pos,
                                     lora_scale=lora_scale,
-                                    mlp_chunk=mlp_chunk)
+                                    mlp_chunk=mlp_chunk,
+                                    int4_stk=int4_stk, layer_idx=idx)
                 return y2
 
             @jax.checkpoint
@@ -678,7 +742,10 @@ def forward(
             x, _ = jax.lax.scan(
                 outer, x, jnp.arange(n_outer, dtype=jnp.int32))
         else:
-            x, _ = jax.lax.scan(step_fn, x, params["layers"])
+            x, _ = jax.lax.scan(
+                step_fn, x,
+                (scan_layers,
+                 jnp.arange(cfg.num_layers, dtype=jnp.int32)))
         new_cache = None
 
     if logits_positions is not None:
@@ -706,7 +773,20 @@ def lm_head_logits(params: Params, x: jax.Array) -> jax.Array:
         head = head.astype(x.dtype)
     elif head.dtype == jnp.uint8:
         from streamvln_tpu.models.quant import dequant_int4
-        head = dequant_int4(head, params["lm_head_scale"], x.dtype)
+        from streamvln_tpu.ops.int4_matmul import (
+            KERNEL_MAX_ROWS, int4_kernel_eligible, int4_matmul)
+        sc = params["lm_head_scale"]
+        x2 = x.reshape(-1, x.shape[-1])
+        if int4_kernel_eligible(head[None], sc[None]) \
+                and x2.shape[0] <= KERNEL_MAX_ROWS:
+            # decode-path vocab projection: at 7B the packed lm_head is
+            # ~270 MB vs a ~1.1 GB materialized bf16 dequant — stream
+            # it through the fused kernel ([1, din/2, V], layer 0)
+            logits = int4_matmul(x2, head[None], sc[None],
+                                 jnp.int32(0),
+                                 jax.default_backend() != "tpu")
+            return logits.reshape(*x.shape[:-1], head.shape[-1])
+        head = dequant_int4(head, sc, x.dtype)
     logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
     if head_scale is not None:
         logits = logits * head_scale
