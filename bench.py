@@ -76,6 +76,11 @@ def main():
         cfg = configs.streamvln_7b()
     elif model_name in ("qwen2-7b-int8", "qwen2-7b-int4"):
         cfg = configs.streamvln_7b()
+    elif model_name == "qwen2-14b-int4":
+        # 14B-class capacity proof: only fits the 16 GB chip at int4
+        import dataclasses
+        cfg = dataclasses.replace(configs.streamvln_7b(),
+                                  llm=configs.qwen2_14b())
     elif model_name == "qwen2-1.5b":
         cfg = configs.StreamVLNConfig(vision=configs.siglip_so400m(),
                                       llm=configs.qwen2_1_5b())

@@ -132,6 +132,18 @@ def qwen2_7b() -> Qwen2Config:
     return Qwen2Config()
 
 
+def qwen2_14b() -> Qwen2Config:
+    """Qwen2.5-14B-class decoder. The int4 capacity target: ~7.4 GB
+    packed weights + scales fit the 16 GB v5e chip with KV + vision,
+    which int8 (14.8 GB weights alone) cannot — the fused int4 kernel
+    (ops/int4_matmul.py) is what makes this class servable at decent
+    decode speed on one chip. All projection dims are 512-multiples, so
+    every matmul is kernel-eligible."""
+    return Qwen2Config(
+        vocab_size=152064, hidden_size=5120, intermediate_size=13824,
+        num_layers=48, num_heads=40, num_kv_heads=8, head_dim=128)
+
+
 def qwen2_1_5b() -> Qwen2Config:
     return Qwen2Config(
         vocab_size=151936, hidden_size=1536, intermediate_size=8960,
@@ -220,7 +232,8 @@ def qwen2_moe_a2_7b() -> Qwen2Config:
 
 
 LLM_REGISTRY = {
-    "qwen2-7b": qwen2_7b, "qwen2-1.5b": qwen2_1_5b,
+    "qwen2-7b": qwen2_7b, "qwen2-14b": qwen2_14b,
+    "qwen2-1.5b": qwen2_1_5b,
     "qwen2-0.5b": qwen2_0_5b, "llama2-7b": llama2_7b,
     "llama3-8b": llama3_8b, "mistral-7b": mistral_7b,
     "gemma-2b": gemma_2b, "mixtral-8x7b": mixtral_8x7b,

@@ -124,6 +124,14 @@ def main(argv=None) -> dict:
     p.add_argument("--max_new_tokens", type=int, default=32)
     args = p.parse_args(argv)
 
+    # An explicit platform request must win even where a site config
+    # pins JAX_PLATFORMS (this harness's sitecustomize clobbers the
+    # env var; the config update after import does not get clobbered).
+    plat = os.environ.get("JAX_PLATFORM_NAME", "")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
     from streamvln_tpu.eval_cli import build_agent
     agent = build_agent(args.model_path, args.model_size,
                         max_new_tokens=args.max_new_tokens)

@@ -22,7 +22,7 @@ def build_agent(model_path: Optional[str], model_size: str = "7b",
                 num_history: int = 8, model_max_length: int = 4096,
                 cache_capacity: int = 4096, max_new_tokens: int = 16,
                 n_envs: int = 1, lora_adapters: Optional[str] = None,
-                spec_lookup: int = 6):
+                spec_lookup: int = 6, bits: int = 16):
     import jax
     import jax.numpy as jnp
     from streamvln_tpu import configs
@@ -53,6 +53,13 @@ def build_agent(model_path: Optional[str], model_size: str = "7b",
         from streamvln_tpu.models import lora as lora_lib
         params = lora_lib.merge_lora(
             lora_lib.apply_adapters_npz(params, lora_adapters))
+    if bits in (4, 8):
+        # inference-time weight quantization (reference model builder:
+        # llava/model/builder.py load_4bit/load_8bit). int4 decode
+        # streams through the fused dequant-matmul kernel
+        # (ops/int4_matmul.py) at 0.5 B/weight.
+        from streamvln_tpu.models import quant
+        params = quant.quantize_llm(params, bits=bits)
     stop = {tok.im_end_id}
     if hasattr(tok, "eos_id"):
         stop.add(tok.eos_id)
@@ -113,6 +120,10 @@ def main(argv=None):
     p.add_argument("--world_size", type=int,
                    default=int(os.environ.get("WORLD_SIZE", 1)))
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bits", type=int, default=16, choices=[4, 8, 16],
+                   help="inference weight quantization (reference "
+                        "builder load_4bit/load_8bit); 4 uses the "
+                        "fused int4 dequant-matmul kernel at decode")
     p.add_argument("--spec_lookup", type=int, default=6,
                    help="prompt-lookup speculative decode: verify this "
                         "many drafted tokens per decode forward "
@@ -125,7 +136,7 @@ def main(argv=None):
         args.model_path, args.model_size, args.num_frames,
         args.num_future_steps, args.num_history, args.model_max_length,
         n_envs=args.n_envs, lora_adapters=args.lora_adapters,
-        spec_lookup=args.spec_lookup)
+        spec_lookup=args.spec_lookup, bits=args.bits)
 
     if args.n_envs > 1:
         import functools

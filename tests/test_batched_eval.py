@@ -106,3 +106,17 @@ def test_eval_cli_batched_env_workers_default(tmp_path):
     assert final["length"] == 4
     lines = open(tmp_path / "out" / "result.json").read().splitlines()
     assert len(lines) == 4
+
+
+def test_eval_cli_bits4_quantized_inference(tmp_path):
+    """--bits 4 quantizes the loaded model at build time (reference
+    model-builder load_4bit) and the run completes on the fake env;
+    the tiny LLM's shapes are kernel-ineligible so this exercises the
+    dequant fallback dispatch end-to-end."""
+    from streamvln_tpu import eval_cli
+    final = eval_cli.main([
+        "--model_size", "tiny", "--env_backend", "fake",
+        "--num_episodes", "2", "--bits", "4",
+        "--max_steps_per_episode", "6",
+        "--output_path", str(tmp_path / "out")])
+    assert final["length"] == 2
