@@ -1,0 +1,81 @@
+"""Inference-time projection fusion: qkv and gate/up as single matmuls.
+
+Decode-shape matmuls are launch-bound, not bandwidth-bound, below a few
+MB: the round-3 amortized microbench measured the int8 [3584, 3584]
+projection at 114 GB/s effective vs 372 GB/s for [3584, 18944] — the
+small ops pay a fixed per-dot issue cost that dwarfs their bytes. Q, K
+and V share the same input (as do gate and up), so concatenating their
+weights along the OUTPUT dim turns 3 (resp. 2) launches into 1 with
+byte-identical math: every output column of a dot is an independent
+reduction, so `x @ [Wq|Wk|Wv]` computes exactly the per-projection
+results. 7 projection ops per layer become 4.
+
+The reference gets this for free inside fused CUDA attention wrappers
+(flash-attn qkv packing, llava/train/llama_flash_attn_monkey_patch.py);
+here it is an explicit params transform applied by the serving engine.
+
+Works across weight dtypes because every quantization in models/quant.py
+is per-output-column independent:
+- float: plain concat;
+- int8: concat weights and the [..., 1, dout] scales;
+- packed int4: concat packed nibbles ([L, din/2, dout]) and the
+  [L, G, dout] group scales — groups run along din, untouched.
+
+Fusion is skipped for layers carrying LoRA adapters on the affected
+projections (adapters are per-projection; fold them first with
+models/lora.merge_lora) and for MoE layers (no dense gate/up stacks).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+_QKV = ("q_w", "k_w", "v_w")
+_GU = ("gate_w", "up_w")
+
+
+def _concat_group(layers: Dict, names, out_name: str) -> bool:
+    """Concat `names` (+ their _scale / _b satellites) along the output
+    dim into `out_name`. Returns False (no-op) unless all members exist
+    with matching dtype/satellite structure and no LoRA adapters."""
+    ws = [layers.get(n) for n in names]
+    if any(w is None for w in ws):
+        return False
+    if len({w.dtype for w in ws}) != 1:
+        return False
+    if any(n + "_lora_a" in layers for n in names):
+        return False
+    scales = [layers.get(n + "_scale") for n in names]
+    if any((s is None) != (scales[0] is None) for s in scales):
+        return False
+    biases = [layers.get(n[:-2] + "_b") for n in names]
+    if any((b is None) != (biases[0] is None) for b in biases):
+        return False
+
+    layers[out_name] = jnp.concatenate(ws, axis=-1)
+    if scales[0] is not None:
+        layers[out_name + "_scale"] = jnp.concatenate(scales, axis=-1)
+    if biases[0] is not None:
+        layers[out_name[:-2] + "_b"] = jnp.concatenate(biases, axis=-1)
+    for n in names:
+        del layers[n]
+        layers.pop(n + "_scale", None)
+        layers.pop(n[:-2] + "_b", None)
+    return True
+
+
+def fuse_projections(params: Dict) -> Dict:
+    """Return params with per-layer q/k/v fused into `qkv_w` and
+    gate/up into `gu_w` where possible (see module docstring). The
+    input tree is not mutated; unfusable groups pass through."""
+    out = dict(params)
+    llm = dict(out.get("llm", out))
+    layers = dict(llm["layers"])
+    _concat_group(layers, _QKV, "qkv_w")
+    _concat_group(layers, _GU, "gu_w")
+    llm["layers"] = layers
+    if "llm" in out:
+        out["llm"] = llm
+        return out
+    return llm

@@ -510,12 +510,23 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
     h = _norm(x, p["ln1"] + off if off else p["ln1"], cfg)
     ai8 = cfg.act_int8
     i4, li = int4_stk, layer_idx
-    q = _proj(h, p, "q_w", lora_scale, ai8, i4, li).reshape(
-        B, S, Hq, Dh)
-    k = _proj(h, p, "k_w", lora_scale, ai8, i4, li).reshape(
-        B, S, Hkv, Dh)
-    v = _proj(h, p, "v_w", lora_scale, ai8, i4, li).reshape(
-        B, S, Hkv, Dh)
+    if "qkv_w" in p or (i4 is not None and "qkv_w" in i4):
+        # fused single-launch qkv (models/fuse.py): output columns are
+        # independent reductions, so the split results are bit-equal
+        # to separate projections
+        qkv = _proj(h, p, "qkv_w", lora_scale, ai8, i4, li)
+        q, k, v = jnp.split(
+            qkv, [Hq * Dh, (Hq + Hkv) * Dh], axis=-1)
+        q = q.reshape(B, S, Hq, Dh)
+        k = k.reshape(B, S, Hkv, Dh)
+        v = v.reshape(B, S, Hkv, Dh)
+    else:
+        q = _proj(h, p, "q_w", lora_scale, ai8, i4, li).reshape(
+            B, S, Hq, Dh)
+        k = _proj(h, p, "k_w", lora_scale, ai8, i4, li).reshape(
+            B, S, Hkv, Dh)
+        v = _proj(h, p, "v_w", lora_scale, ai8, i4, li).reshape(
+            B, S, Hkv, Dh)
 
     attn_bias = None
     if cfg.positional == "rope":
@@ -568,13 +579,20 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
         act_fn = _mlp_act_fn(cfg.mlp_act)
 
         def _mlp(hb):
-            up = _proj(hb, p, "up_w", lora_scale, ai8, i4, li)
-            if cfg.mlp_gated:
-                gate = _proj(hb, p, "gate_w", lora_scale, ai8, i4, li)
+            if "gu_w" in p or (i4 is not None and "gu_w" in i4):
+                gu = _proj(hb, p, "gu_w", lora_scale, ai8, i4, li)
+                gate, up = jnp.split(gu, 2, axis=-1)
                 act = (act_fn(gate.astype(jnp.float32))
                        * up.astype(jnp.float32)).astype(x.dtype)
             else:
-                act = act_fn(up.astype(jnp.float32)).astype(x.dtype)
+                up = _proj(hb, p, "up_w", lora_scale, ai8, i4, li)
+                if cfg.mlp_gated:
+                    gate = _proj(hb, p, "gate_w", lora_scale, ai8,
+                                 i4, li)
+                    act = (act_fn(gate.astype(jnp.float32))
+                           * up.astype(jnp.float32)).astype(x.dtype)
+                else:
+                    act = act_fn(up.astype(jnp.float32)).astype(x.dtype)
             return _proj(act, p, "down_w", lora_scale, ai8, i4, li)
 
         if mlp_chunk and S > mlp_chunk and S % mlp_chunk == 0:
@@ -596,7 +614,8 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
 INVALID_POS = 1 << 30
 
 _INT4_KERNEL_NAMES = ("q_w", "k_w", "v_w", "o_w",
-                      "gate_w", "up_w", "down_w")
+                      "gate_w", "up_w", "down_w",
+                      "qkv_w", "gu_w")       # fused (models/fuse.py)
 
 
 def _split_int4_stacks(layers):

@@ -537,7 +537,15 @@ class StreamingEngine:
                  compute_dtype=jnp.bfloat16,
                  attn_impl: str = "auto",
                  fused_preprocess: bool = False,
-                 spec_lookup: int = 0):
+                 spec_lookup: int = 0,
+                 fuse_proj: bool = True):
+        if fuse_proj:
+            # single-launch qkv / gate-up matmuls (models/fuse.py):
+            # decode-shape dots are launch-bound, and the fused split
+            # is bit-equal (output columns are independent reductions).
+            # No-op for layers it cannot fuse (LoRA-carrying, MoE).
+            from streamvln_tpu.models.fuse import fuse_projections
+            params = fuse_projections(params)
         self.params = params
         self.cfg = cfg
         self.n_envs = n_envs

@@ -14,3 +14,23 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    The full suite compiles thousands of CPU executables in one
+    process; past ~225 tests the accumulation deterministically
+    segfaults XLA's CPU backend_compile (reproduced twice at the same
+    test; no subset of the suite reproduces it, RSS well under the
+    host's memory). Dropping the jit caches at module teardown keeps
+    the live-executable population bounded. Module-scoped fixtures
+    recompile on demand, so this costs a little time, not correctness.
+    """
+    yield
+    import jax
+    jax.clear_caches()

@@ -80,7 +80,8 @@ def test_forward_dispatches_stacked_kernel():
     scan_layers, stk = qwen2._split_int4_stacks(q4["layers"])
     assert stk is not None
     for name in qwen2._INT4_KERNEL_NAMES:
-        assert name in stk and name not in scan_layers
+        if name in q4["layers"]:      # fused names absent when unfused
+            assert name in stk and name not in scan_layers
 
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 512),
                           jnp.float32)
