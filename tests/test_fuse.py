@@ -72,3 +72,16 @@ def test_engine_fused_tokens_match_unfused():
         return eng.generate(0, frame, ids, step_id=0)
 
     assert list(run(True)) == list(run(False))
+
+
+def test_fused_act_int8_matches_unfused():
+    """act_int8 (int8 x int8 MXU) composes with fused projections:
+    per-token activation quant is independent of output columns."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_llm(), act_int8=True)
+    params = qwen2.init(jax.random.PRNGKey(0), cfg, jnp.float32)
+    params = quant.quantize_llm({"llm": params}, bits=8)["llm"]
+    fused = fuse_projections(params)
+    ref = _fwd(params, cfg)
+    out = _fwd(fused, cfg)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
