@@ -167,7 +167,8 @@ def main():
             compute_dtype=dtype,
             buckets=(256, 512, 768, 1024, 2304, 2560, 3072),
             fused_preprocess=os.environ.get("BENCH_FUSED_PRE") == "1",
-            spec_lookup=spec_lookup)
+            spec_lookup=spec_lookup,
+            kv_int8=os.environ.get("BENCH_KV_INT8") == "1")
 
         def run_episode(n_steps, record):
             engine.reset()
@@ -243,7 +244,8 @@ def main():
             stop_ids=(tok.im_end_id,), compute_dtype=dtype,
             buckets=(256, 512, 768, 1024, 2304, 2560, 3072),
             fused_preprocess=os.environ.get("BENCH_FUSED_PRE") == "1",
-            spec_lookup=spec_lookup)
+            spec_lookup=spec_lookup,
+            kv_int8=os.environ.get("BENCH_KV_INT8") == "1")
         agent = VLNAgent(engine, tok, memory_prompt=MEMORY_PROMPT_EVAL)
         from streamvln_tpu.eval.env_workers import resize_rgb_transform
         env_fn = functools.partial(

@@ -174,7 +174,8 @@ def _prefill_decode(
     # inactive rows keep their pre-call KV lengths (their dummy writes
     # land past the kept length and are never attended)
     cache = KVCache(cache.k, cache.v,
-                    jnp.where(active, cache.length, saved_length))
+                    jnp.where(active, cache.length, saved_length),
+                    cache.k_scale, cache.v_scale)
     result = jnp.concatenate(
         [jnp.where(active, n_out, 0)[:, None], out,
          jnp.where(active, iters, 0)[:, None]], axis=1)
@@ -213,7 +214,8 @@ def _greedy_loop(params, cfg, cache, last_logits, max_new: int,
         # overwritten by the next real write at that offset.
         new_cache = KVCache(
             new_cache.k, new_cache.v,
-            jnp.where(done, cache.length, new_cache.length))
+            jnp.where(done, cache.length, new_cache.length),
+            new_cache.k_scale, new_cache.v_scale)
         out = jnp.where(done[:, None], out,
                         jax.vmap(lambda o, t, i: o.at[i].set(t))(
                             out, nxt, jnp.full((B,), 0, jnp.int32) + n))
@@ -286,7 +288,8 @@ def _sample_loop(params, cfg, cache, last_logits, max_new: int,
         nxt = _sample_tok(logits[:, 0], temp, top_p, sub)
         new_cache = KVCache(
             new_cache.k, new_cache.v,
-            jnp.where(done, cache.length, new_cache.length))
+            jnp.where(done, cache.length, new_cache.length),
+            new_cache.k_scale, new_cache.v_scale)
         out = jnp.where(done[:, None], out,
                         jax.vmap(lambda o, t, i: o.at[i].set(t))(
                             out, nxt, jnp.full((B,), 0, jnp.int32) + n))
@@ -401,7 +404,8 @@ def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
             lambda row, f, off: jax.lax.dynamic_update_slice(
                 row, f, (off,)))(ids_buf, fed, cache.length)
         new_cache = KVCache(new_cache.k, new_cache.v,
-                            cache.length + emit)
+                            cache.length + emit,
+                            new_cache.k_scale, new_cache.v_scale)
 
         last_i = jnp.maximum(emit - 1, 0)[:, None]
         last_tok = jnp.take_along_axis(truth, last_i, axis=1)[:, 0]
@@ -470,7 +474,8 @@ def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
             attn_impl, compute_dtype, force_done=~active)
         iters = jnp.maximum(n_out - 1, 0)
     cache = KVCache(cache.k, cache.v,
-                    jnp.where(active, cache.length, saved_length))
+                    jnp.where(active, cache.length, saved_length),
+                    cache.k_scale, cache.v_scale)
     result = jnp.concatenate(
         [jnp.where(active, n_out, 0)[:, None], out,
          jnp.where(active, iters, 0)[:, None]], axis=1)
@@ -538,7 +543,8 @@ class StreamingEngine:
                  attn_impl: str = "auto",
                  fused_preprocess: bool = False,
                  spec_lookup: int = 0,
-                 fuse_proj: bool = True):
+                 fuse_proj: bool = True,
+                 kv_int8: bool = False):
         if fuse_proj:
             # single-launch qkv / gate-up matmuls (models/fuse.py):
             # decode-shape dots are launch-bound, and the fused split
@@ -559,8 +565,12 @@ class StreamingEngine:
         # tokens per decode forward (greedy-exact; see _spec_loop).
         # 0 = classic one-token-per-forward greedy.
         self.spec_lookup = int(spec_lookup)
+        # kv_int8: int8 cache values + per-(token, head) scales — halves
+        # resident cache HBM (the capacity lever for long contexts /
+        # 14B-class at batch); appends quantize post-RoPE, reads
+        # dequantize in the attention operand stream (models/qwen2).
         self.cache = KVCache.create(cfg.llm, n_envs, cache_capacity,
-                                    compute_dtype)
+                                    compute_dtype, quantized=kv_int8)
         self.ids_buf = jnp.full((n_envs, cache_capacity), -1,
                                 jnp.int32) if self.spec_lookup else None
         D = cfg.llm.hidden_size
@@ -590,7 +600,8 @@ class StreamingEngine:
         frame-feature slots, so engines reused across episodes do not
         exhaust the slot pool."""
         self.cache = KVCache(self.cache.k, self.cache.v,
-                             jnp.zeros_like(self.cache.length))
+                             jnp.zeros_like(self.cache.length),
+                             self.cache.k_scale, self.cache.v_scale)
         for e in self.envs:
             e.pending_token = None
             e.kv_length = 0
