@@ -141,3 +141,26 @@ def test_large_rows_fall_back_to_dequant():
     ref, _ = qwen2.forward(dq, cfg, x, pos, attn_impl="dense")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_qwen2_14b_all_projections_kernel_eligible():
+    """The 14B capacity config exists BECAUSE of the int4 kernel: every
+    projection (and the lm_head) must tile cleanly (512-multiples)."""
+    from streamvln_tpu.configs import qwen2_14b
+    cfg = qwen2_14b()
+    dims = [
+        (cfg.hidden_size, cfg.num_heads * cfg.head_dim),          # q
+        (cfg.hidden_size, cfg.num_kv_heads * cfg.head_dim),       # k/v
+        (cfg.num_heads * cfg.head_dim, cfg.hidden_size),          # o
+        (cfg.hidden_size, cfg.intermediate_size),                 # gate/up
+        (cfg.intermediate_size, cfg.hidden_size),                 # down
+        (cfg.hidden_size, cfg.vocab_size),                        # lm_head
+        (cfg.hidden_size,                                         # fused qkv
+         (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim),
+        (cfg.hidden_size, 2 * cfg.intermediate_size),             # fused gu
+    ]
+    for din, dout in dims:
+        assert din % 512 == 0 and dout % 512 == 0, (din, dout)
+    packed_gb = sum(din * dout for din, dout in dims[:5]) \
+        * cfg.num_layers  # rough per-layer set
+    assert packed_gb / 2 / 2**30 < 16    # sanity: packs under the chip
