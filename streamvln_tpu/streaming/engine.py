@@ -348,10 +348,22 @@ def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
 
     def draft_row(ids_row, length, p, c):
         idx = jnp.arange(cap, dtype=jnp.int32)
-        prevs = jnp.concatenate(
+        prev1 = jnp.concatenate(
             [jnp.full((1,), -2, jnp.int32), ids_row[:-1]])
-        m = (prevs == p) & (ids_row == c) & (idx < length)
-        j = jnp.max(jnp.where(m, idx, -1))
+        prev2 = jnp.concatenate(
+            [jnp.full((2,), -2, jnp.int32), ids_row[:-2]])
+        # the invariant p == ids_row[length-1] holds (accepted tokens
+        # are written to the shadow before length advances), so the
+        # 3-gram context extends backwards through the shadow itself
+        p2 = ids_row[jnp.clip(length - 2, 0, cap - 1)]
+        m2 = (prev1 == p) & (ids_row == c) & (idx < length)
+        m3 = m2 & (prev2 == p2) & (length >= 2)
+        # prefer the most recent 3-gram match (higher-precision
+        # continuation on repeated action scaffolding); fall back to
+        # the most recent bigram match
+        j3 = jnp.max(jnp.where(m3, idx, -1))
+        j2 = jnp.max(jnp.where(m2, idx, -1))
+        j = jnp.where(j3 >= 0, j3, j2)
         dr = jax.lax.dynamic_slice(
             ids_row, (jnp.clip(j + 1, 0, cap - k),), (k,))
         # no match: draft an impossible id — all-reject, plain 1-token
