@@ -42,10 +42,18 @@ def make_mesh(dp: int = 1, fsdp: Optional[int] = None, tp: int = 1,
 # (path regex, spec) — first match wins. Layer stacks carry a leading [L]
 # axis that is never sharded (it is scanned over).
 _RULES: Tuple[Tuple[str, P], ...] = (
-    # LLM layer stacks
-    (r"llm/layers/(q_w|k_w|v_w|gate_w|up_w)$", P(None, "fsdp", "tp")),
+    # LLM layer stacks (same rules cover int8/int4-packed storage —
+    # quantization keeps the names and the [L, din(/2), dout] axis
+    # order; fused qkv_w/gu_w come from models/fuse.py)
+    (r"llm/layers/(q_w|k_w|v_w|gate_w|up_w|qkv_w|gu_w)$",
+     P(None, "fsdp", "tp")),
     (r"llm/layers/(o_w|down_w)$", P(None, "tp", "fsdp")),
-    (r"llm/layers/(q_b|k_b|v_b)$", P(None, "tp")),
+    (r"llm/layers/(q_b|k_b|v_b|qkv_b)$", P(None, "tp")),
+    # quantization scales follow their weight's OUTPUT-dim sharding
+    # (int8: [L, 1, dout]; int4 group scales: [L, G, dout])
+    (r"llm/layers/(q_w|k_w|v_w|gate_w|up_w|qkv_w|gu_w)_scale$",
+     P(None, None, "tp")),
+    (r"llm/layers/(o_w|down_w)_scale$", P(None, None, "fsdp")),
     # MoE: experts ride the tp axis (expert parallelism — each chip
     # group holds E/tp experts), matmul dims ride fsdp
     (r"llm/layers/(e_gate|e_up)$", P(None, "tp", "fsdp", None)),
@@ -56,7 +64,9 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     (r"llm/layers/s_route_w$", P(None, "fsdp", None)),
     (r"llm/layers/", P(None, None)),          # norms
     (r"llm/embed$", P("fsdp", "tp")),
+    (r"llm/embed_scale$", P("fsdp", None)),
     (r"llm/lm_head$", P("fsdp", "tp")),
+    (r"llm/lm_head_scale$", P(None, "tp")),
     (r"llm/final_norm$", P()),
     # vision tower
     (r"vision/layers/(q_w|k_w|v_w|fc1_w)$", P(None, None, "fsdp")),

@@ -171,3 +171,41 @@ def test_moe_train_step_on_mesh():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_quantized_and_fused_param_sharding_rules():
+    """int8/int4 storage keeps weight names, so the tp/fsdp rules
+    apply unchanged; scales follow their weight's output-dim axis and
+    fused qkv_w/gu_w (models/fuse.py) shard like their members."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from streamvln_tpu.configs import tiny_llm
+    from streamvln_tpu.models import quant, qwen2
+    from streamvln_tpu.models.fuse import fuse_projections
+    from streamvln_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(dp=2, fsdp=2, tp=2, devices=jax.devices())
+    cfg = tiny_llm()
+    params = {"llm": qwen2.init(jax.random.PRNGKey(0), cfg,
+                                jnp.float32)}
+    params = quant.quantize_llm(params, bits=4)
+    params["llm"] = fuse_projections(params["llm"])
+    specs = mesh_lib.param_specs(params, mesh)
+    layers = specs["llm"]["layers"]
+    got = {k: tuple(v) for k, v in layers.items()
+           if k in ("qkv_w", "gu_w", "down_w", "qkv_w_scale",
+                    "down_w_scale")}
+    D = cfg.hidden_size
+    # tiny dims may not divide the mesh axes; compare against the
+    # fitted spec rather than the raw rule
+    raw = {"qkv_w": P(None, "fsdp", "tp"), "gu_w": P(None, "fsdp", "tp"),
+           "down_w": P(None, "tp", "fsdp"),
+           "qkv_w_scale": P(None, None, "tp"),
+           "down_w_scale": P(None, None, "fsdp")}
+    for k, spec in raw.items():
+        arr = params["llm"]["layers"][k]
+        fitted = tuple(mesh_lib._fit_spec(spec, arr.shape, mesh))
+        assert got[k] == fitted, (k, got[k], fitted)
+    # placement works end to end
+    sharded = mesh_lib.shard_params(params, mesh)
+    assert sharded["llm"]["layers"]["qkv_w"].dtype == jnp.uint8
