@@ -45,11 +45,51 @@ def extract_choice(text: str) -> Optional[str]:
     return m.group(1).upper() if m else None
 
 
+def rouge_l(pred: str, gold: str) -> float:
+    """ROUGE-L F1 over normalized word sequences (the interleave
+    benchmark families' free-form metric, reference:
+    llava/eval/evaluate_interleave.py — Spot-the-Diff, IEdit, VIST...)
+    computed directly via LCS (no external rouge package)."""
+    a = _normalize(pred).split()
+    b = _normalize(gold).split()
+    if not a or not b:
+        return 0.0
+    dp = [0] * (len(b) + 1)
+    for x in a:
+        prev = 0
+        for j, y in enumerate(b, 1):
+            cur = dp[j]
+            dp[j] = prev + 1 if x == y else max(dp[j], dp[j - 1])
+            prev = cur
+    lcs = dp[-1]
+    p, r = lcs / len(a), lcs / len(b)
+    return 0.0 if p + r == 0 else 2 * p * r / (p + r)
+
+
+def tfidf_similarity(pred: str, gold: str) -> float:
+    """TF-IDF cosine similarity (reference evaluate_interleave.py's
+    metric for the visual-cloze / image-coherence families)."""
+    from sklearn.feature_extraction.text import TfidfVectorizer
+    from sklearn.metrics.pairwise import cosine_similarity
+    texts = [_normalize(pred), _normalize(gold)]
+    if not texts[0] or not texts[1]:
+        return 0.0
+    try:
+        mat = TfidfVectorizer().fit_transform(texts)
+    except ValueError:          # e.g. only stop-chars
+        return 0.0
+    return float(cosine_similarity(mat[0:1], mat[1:2])[0, 0])
+
+
 def score_answer(pred: str, gold: str, answer_type: str) -> float:
     if answer_type == "multiple_choice":
         return float(extract_choice(pred) == gold.strip().upper())
     if answer_type == "contains":
         return float(_normalize(gold) in _normalize(pred))
+    if answer_type == "rouge_l":
+        return rouge_l(pred, gold)
+    if answer_type == "tfidf_sim":
+        return tfidf_similarity(pred, gold)
     return float(_normalize(pred) == _normalize(gold))
 
 
@@ -101,10 +141,13 @@ def run_task(agent, entries: List[dict], media_root: str,
                                 "prediction": text,
                                 "answer": entry.get("answer"),
                                 "score": s}) + "\n")
+    _metric_name = {"exact": "exact_match",
+                    "multiple_choice": "accuracy",
+                    "contains": "contains_match",
+                    "rouge_l": "rouge_l_f",
+                    "tfidf_sim": "tfidf_similarity"}
     metrics = {
-        ("exact_match" if t == "exact" else
-         "accuracy" if t == "multiple_choice" else "contains_match"):
-        (sum(v) / len(v) if v else 0.0)
+        _metric_name.get(t, t): (sum(v) / len(v) if v else 0.0)
         for t, v in per_type.items()}
     metrics["n"] = float(n)
     return metrics

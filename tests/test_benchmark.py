@@ -54,3 +54,18 @@ def test_subprocess_benchmark_roundtrip(tmp_path):
     samples = [json.loads(l) for l in
                open(out_dir / "samples_toyvqa.jsonl")]
     assert len(samples) == 2 and all("score" in s for s in samples)
+
+
+def test_rouge_l_and_tfidf_scores():
+    """Interleave-benchmark metrics (reference
+    llava/eval/evaluate_interleave.py): ROUGE-L F and TF-IDF cosine."""
+    from streamvln_tpu.eval.benchmark import (rouge_l, score_answer,
+                                              tfidf_similarity)
+    assert rouge_l("the red door is open", "the red door is open") == 1.0
+    assert rouge_l("a b c", "x y z") == 0.0
+    mid = rouge_l("the red door", "the blue door")
+    assert 0.0 < mid < 1.0
+    assert tfidf_similarity("same words here", "same words here") > 0.99
+    assert tfidf_similarity("alpha beta", "gamma delta") < 0.1
+    assert score_answer("the red door", "the red door", "rouge_l") == 1.0
+    assert 0 <= score_answer("a cat", "a dog", "tfidf_sim") <= 1
