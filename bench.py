@@ -48,6 +48,12 @@ class _TransformedEnv:
 
 def main():
     import jax
+    # an explicit platform request must win even where a site config
+    # pins JAX_PLATFORMS (this harness's sitecustomize clobbers the
+    # env var; the config update after import is not clobbered)
+    _plat = os.environ.get("JAX_PLATFORM_NAME", "")
+    if _plat:
+        jax.config.update("jax_platforms", _plat)
     # persistent compilation cache: the 7B prefill buckets compile via
     # a slow remote AOT helper on this harness (minutes on first use);
     # cached compiles land in ~seconds on subsequent runs
@@ -124,6 +130,11 @@ def main():
         }
     else:
         params = streamvln.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    # fuse qkv/gate-up ONCE here and drop the unfused tree: fusing
+    # inside each engine while this scope kept `params` alive would
+    # leave both copies resident (~4 GB dead weight at 7B)
+    from streamvln_tpu.models.fuse import fuse_projections
+    params = fuse_projections(params)
     tok = ByteTokenizer()
 
     def turn_ids(first: bool, memory: bool):

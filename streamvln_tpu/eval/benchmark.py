@@ -68,17 +68,27 @@ def rouge_l(pred: str, gold: str) -> float:
 
 def tfidf_similarity(pred: str, gold: str) -> float:
     """TF-IDF cosine similarity (reference evaluate_interleave.py's
-    metric for the visual-cloze / image-coherence families)."""
-    from sklearn.feature_extraction.text import TfidfVectorizer
-    from sklearn.metrics.pairwise import cosine_similarity
-    texts = [_normalize(pred), _normalize(gold)]
-    if not texts[0] or not texts[1]:
+    metric for the visual-cloze / image-coherence families). Computed
+    inline over the two documents (no sklearn dependency; and unlike
+    sklearn's default token_pattern, single-character tokens count —
+    identical texts always score 1)."""
+    import math
+    from collections import Counter
+    a = Counter(_normalize(pred).split())
+    b = Counter(_normalize(gold).split())
+    if not a or not b:
         return 0.0
-    try:
-        mat = TfidfVectorizer().fit_transform(texts)
-    except ValueError:          # e.g. only stop-chars
-        return 0.0
-    return float(cosine_similarity(mat[0:1], mat[1:2])[0, 0])
+    # smoothed idf over the 2-document corpus (sklearn formula:
+    # ln((1+n)/(1+df)) + 1 with n=2)
+    vocab = set(a) | set(b)
+    idf = {t: math.log(3.0 / (1 + ((t in a) + (t in b)))) + 1.0
+           for t in vocab}
+    va = {t: c * idf[t] for t, c in a.items()}
+    vb = {t: c * idf[t] for t, c in b.items()}
+    dot = sum(va[t] * vb.get(t, 0.0) for t in va)
+    na = math.sqrt(sum(x * x for x in va.values()))
+    nb = math.sqrt(sum(x * x for x in vb.values()))
+    return 0.0 if na == 0 or nb == 0 else dot / (na * nb)
 
 
 def score_answer(pred: str, gold: str, answer_type: str) -> float:

@@ -58,7 +58,12 @@ class MidTrainingEvaluator:
         engine = StreamingEngine(
             params, self.cfg, stop_ids=(self.tok.im_end_id,),
             compute_dtype=dtype, max_new_tokens=self.max_new_tokens,
-            cache_capacity=self.cache_capacity, buckets=self.buckets)
+            cache_capacity=self.cache_capacity, buckets=self.buckets,
+            # the live training params stay referenced by the trainer,
+            # so fusing here would DUPLICATE q/k/v + gate/up in HBM
+            # (~4 GB at 7B) on top of optimizer state — skip it for the
+            # short mid-training eval
+            fuse_proj=False)
         agent = VLNAgent(engine, self.tok)
         with tempfile.TemporaryDirectory() as tmp:
             ev = VLNEvaluator(

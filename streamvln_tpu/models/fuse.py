@@ -24,6 +24,12 @@ is per-output-column independent:
 Fusion is skipped for layers carrying LoRA adapters on the affected
 projections (adapters are per-projection; fold them first with
 models/lora.merge_lora) and for MoE layers (no dense gate/up stacks).
+
+Memory: the fused arrays are CONCAT COPIES. If the caller keeps its
+reference to the unfused tree, both live in HBM (~4 GB dead weight at
+7B) — rebind to the returned tree (bench.py does) or construct the
+engine with fuse_proj=False where the originals must stay alive (the
+mid-training eval hook does).
 """
 from __future__ import annotations
 

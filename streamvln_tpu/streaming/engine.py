@@ -440,7 +440,7 @@ def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "max_new", "stop_ids", "attn_impl",
-                              "spec_k"))
+                              "spec_k", "compute_dtype"))
 def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
                      pending: jax.Array,      # [B] int32
                      active: jax.Array,       # [B] bool
@@ -448,16 +448,20 @@ def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
                      attn_impl: str = "auto",
                      ids_buf: Optional[jax.Array] = None,
                      spec_k: int = 0,
-                     sample_params=None):
+                     sample_params=None,
+                     compute_dtype=jnp.bfloat16):
     """Decode-only continuation: feed each active row's pending token
     (the last one emitted by the previous call, whose KV is absent by
     the suffix-cache convention) and greedily decode up to max_new more.
     This is the chunk primitive for token-streaming serving — the
     reference streams from inside HF generate via TextIteratorStreamer
     (llava/serve/model_worker.py:126-180); our decode loop is one fused
-    device dispatch, so streaming = a sequence of these chunk calls."""
+    device dispatch, so streaming = a sequence of these chunk calls.
+
+    compute_dtype must be passed explicitly: inferring it from
+    cache.k.dtype breaks for the int8-quantized cache (hidden states
+    would be cast to int8)."""
     saved_length = cache.length
-    compute_dtype = cache.k.dtype
     if spec_k:
         ids_buf = jax.vmap(
             lambda row, t, off: jax.lax.dynamic_update_slice(
@@ -869,7 +873,8 @@ class StreamingEngine:
             self.params, self.cfg, self.cache, jnp.asarray(pending),
             jnp.asarray(active), self.max_new, self.stop_ids,
             self.attn_impl, self.ids_buf, self.spec_lookup,
-            self._sample_params(temperature, top_p))
+            self._sample_params(temperature, top_p),
+            compute_dtype=self.compute_dtype)
         res = np.asarray(result)
         n_out = int(res[env, 0])
         toks = [int(t) for t in res[env, 1: 1 + n_out]]

@@ -161,6 +161,15 @@ def test_qwen2_14b_all_projections_kernel_eligible():
     ]
     for din, dout in dims:
         assert din % 512 == 0 and dout % 512 == 0, (din, dout)
-    packed_gb = sum(din * dout for din, dout in dims[:5]) \
-        * cfg.num_layers  # rough per-layer set
-    assert packed_gb / 2 / 2**30 < 16    # sanity: packs under the chip
+    # full packed footprint: per-layer q + k + v + o + gate + up + down
+    # (k/v and gate/up each twice), plus lm_head and the int8 embed
+    D, F = cfg.hidden_size, cfg.intermediate_size
+    per_layer = (D * cfg.num_heads * cfg.head_dim          # q
+                 + 2 * D * cfg.num_kv_heads * cfg.head_dim  # k, v
+                 + cfg.num_heads * cfg.head_dim * D          # o
+                 + 2 * D * F                                  # gate, up
+                 + F * D)                                     # down
+    packed = (per_layer * cfg.num_layers
+              + D * cfg.vocab_size) / 2          # 0.5 B/weight
+    embed = cfg.vocab_size * D                   # int8 embed, 1 B
+    assert (packed + embed) / 2**30 < 12         # leaves room for KV

@@ -90,3 +90,43 @@ def test_engine_kv_int8_generates():
     eng.reset_for_env(0)
     toks2 = eng.generate(0, frame, ids, step_id=0)
     assert list(toks2) == list(toks)      # reset is clean
+
+
+def test_kv_int8_chunked_decode_matches_single_call():
+    """continue_decode() (token-streaming serving) with the int8 cache:
+    chunked generation must reproduce a single-call budget exactly
+    (the quantization is deterministic, so chunk boundaries change no
+    math). Regression: _decode_continue once inferred compute_dtype
+    from cache.k.dtype, casting hidden states to int8."""
+    from streamvln_tpu.configs import tiny_streamvln
+    from streamvln_tpu.data import chatml
+    from streamvln_tpu.data.tokenizer import ByteTokenizer
+    from streamvln_tpu.models import streamvln
+    from streamvln_tpu.streaming.engine import StreamingEngine
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+
+    def mk(budget):
+        return StreamingEngine(params, cfg, stop_ids=(tok.im_end_id,),
+                               compute_dtype=jnp.float32,
+                               max_new_tokens=budget,
+                               cache_capacity=2048, buckets=(768,),
+                               kv_int8=True)
+
+    ids, _ = chatml.tokenize_dialogue(
+        tok, [("user", chatml.observation_prompt(None, "turn left"))],
+        add_system=True, with_labels=False)
+    ids = np.concatenate([ids, np.asarray(
+        chatml.generation_prompt(tok), np.int32)])
+    frame = np.random.RandomState(9).randint(
+        0, 255, (48, 64, 3)).astype(np.uint8)
+    want = mk(12).generate(0, frame, ids, step_id=0)
+    eng = mk(4)
+    got = eng.generate(0, frame, ids, step_id=0)
+    while len(got) < 12 and got[-1] != tok.im_end_id:
+        chunk = eng.continue_decode(0)
+        if not chunk:
+            break
+        got.extend(chunk)
+    assert got[:len(want)] == list(want), f"{got} != {want}"
