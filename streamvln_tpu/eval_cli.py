@@ -22,7 +22,8 @@ def build_agent(model_path: Optional[str], model_size: str = "7b",
                 num_history: int = 8, model_max_length: int = 4096,
                 cache_capacity: int = 4096, max_new_tokens: int = 16,
                 n_envs: int = 1, lora_adapters: Optional[str] = None,
-                spec_lookup: int = 6, bits: int = 16):
+                spec_lookup: int = 6, bits: int = 16,
+                kv_int8: bool = False):
     import jax
     import jax.numpy as jnp
     from streamvln_tpu import configs
@@ -66,7 +67,7 @@ def build_agent(model_path: Optional[str], model_size: str = "7b",
     engine = StreamingEngine(
         params, cfg, n_envs=n_envs, cache_capacity=cache_capacity,
         max_new_tokens=max_new_tokens, stop_ids=tuple(stop),
-        compute_dtype=dtype, spec_lookup=spec_lookup)
+        compute_dtype=dtype, spec_lookup=spec_lookup, kv_int8=kv_int8)
     return VLNAgent(engine, tok, deterministic_conjunction=False)
 
 
@@ -124,6 +125,10 @@ def main(argv=None):
                    help="inference weight quantization (reference "
                         "builder load_4bit/load_8bit); 4 uses the "
                         "fused int4 dequant-matmul kernel at decode")
+    p.add_argument("--kv_int8", action="store_true", default=False,
+                   help="int8 KV cache values + per-token scales: half "
+                        "the resident cache HBM (capacity lever for "
+                        "long contexts / 14B-class at batch)")
     p.add_argument("--spec_lookup", type=int, default=6,
                    help="prompt-lookup speculative decode: verify this "
                         "many drafted tokens per decode forward "
@@ -136,7 +141,8 @@ def main(argv=None):
         args.model_path, args.model_size, args.num_frames,
         args.num_future_steps, args.num_history, args.model_max_length,
         n_envs=args.n_envs, lora_adapters=args.lora_adapters,
-        spec_lookup=args.spec_lookup, bits=args.bits)
+        spec_lookup=args.spec_lookup, bits=args.bits,
+        kv_int8=args.kv_int8)
 
     if args.n_envs > 1:
         import functools
