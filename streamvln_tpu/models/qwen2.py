@@ -177,12 +177,21 @@ def _append_rows(buf: jax.Array, new: jax.Array,
 
 
 def _append_stack(buf: jax.Array, new: jax.Array, layer: jax.Array,
-                  offsets: jax.Array) -> jax.Array:
+                  offsets: jax.Array,
+                  write_mask: Optional[jax.Array] = None) -> jax.Array:
     """Append new tokens' KV into one layer of a stacked cache, in place.
 
     buf: [L, B, Hkv, Smax, D] (scan carry — XLA keeps the update
     in-place, so only the S new tokens are written, not the whole
     cache); new: [B, S, Hkv, D]; layer: scalar int; offsets: [B].
+
+    write_mask [B] bool: rows with False write back what they read at
+    the (identically clamped) offset — an exact self-copy. This
+    protects IDLE batch rows: a padded-bucket write at a full row's
+    offset gets its start CLAMPED by dynamic_update_slice and would
+    otherwise smash live low slots with dummy KV (the active rows'
+    overflow is guarded host-side; idle rows can't be — their lengths
+    aren't part of the request).
     """
     new_t = new.transpose(0, 2, 1, 3)        # [B, Hkv, S, D]
     # Unrolled per-row dynamic_update_slice (B is static): a DUS chain
@@ -191,8 +200,14 @@ def _append_stack(buf: jax.Array, new: jax.Array, layer: jax.Array,
     # read+write per decoded token).
     zero = jnp.zeros((), jnp.int32)
     for b in range(new.shape[0]):
+        upd = new_t[b][None, None]
+        if write_mask is not None:
+            cur = jax.lax.dynamic_slice(
+                buf, (layer, jnp.int32(b), zero, offsets[b], zero),
+                upd.shape)
+            upd = jnp.where(write_mask[b], upd, cur)
         buf = jax.lax.dynamic_update_slice(
-            buf, new_t[b][None, None],
+            buf, upd,
             (layer, jnp.int32(b), zero, offsets[b], zero))
     return buf
 
@@ -530,7 +545,7 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
                 carry, layer_params,
                 positions, k_pos, cache_kv=None, cache_offsets=None,
                 lora_scale=None, mlp_chunk=None, int4_stk=None,
-                layer_idx=None):
+                layer_idx=None, write_mask=None):
     """One decoder block. carry = hidden states [B, S, Dm].
 
     k_pos: positions of keys — in-sequence positions (no cache) or cache
@@ -592,13 +607,16 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
             # full capacity every step), then read this layer's slice
             # for attention.
             kc, vc, ks, vs, layer_idx = cache_kv
+            wm = write_mask
             if ks is not None:
                 kq, ksc = _quantize_kv(k)
                 vq, vsc = _quantize_kv(v)
-                kc = _append_stack(kc, kq, layer_idx, cache_offsets)
-                vc = _append_stack(vc, vq, layer_idx, cache_offsets)
-                ks = _append_stack(ks, ksc, layer_idx, cache_offsets)
-                vs = _append_stack(vs, vsc, layer_idx, cache_offsets)
+                kc = _append_stack(kc, kq, layer_idx, cache_offsets, wm)
+                vc = _append_stack(vc, vq, layer_idx, cache_offsets, wm)
+                ks = _append_stack(ks, ksc, layer_idx, cache_offsets,
+                                   wm)
+                vs = _append_stack(vs, vsc, layer_idx, cache_offsets,
+                                   wm)
                 cdt = x.dtype
                 ck = _dequant_kv(
                     jax.lax.dynamic_index_in_dim(kc, layer_idx, 0,
@@ -611,8 +629,8 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
                     jax.lax.dynamic_index_in_dim(vs, layer_idx, 0,
                                                  keepdims=False), cdt)
             else:
-                kc = _append_stack(kc, k, layer_idx, cache_offsets)
-                vc = _append_stack(vc, v, layer_idx, cache_offsets)
+                kc = _append_stack(kc, k, layer_idx, cache_offsets, wm)
+                vc = _append_stack(vc, v, layer_idx, cache_offsets, wm)
                 ck = jax.lax.dynamic_index_in_dim(kc, layer_idx, 0,
                                                   keepdims=False)
                 cv = jax.lax.dynamic_index_in_dim(vc, layer_idx, 0,
@@ -713,6 +731,9 @@ def forward(
     remat_chunk: Optional[int] = None,  # nested remat: layers per chunk
     mlp_chunk: Optional[int] = None,    # token-chunked MLP (see
     # _layer_step docstring; long-context training memory)
+    write_mask: Optional[jax.Array] = None,  # [B] bool: False rows'
+    # cache appends become exact self-copies (idle batch rows whose
+    # padded write would clamp over live slots; see _append_stack)
     logits_positions: Optional[jax.Array] = None,  # [B] -> logits only
     # at these in-sequence indices ([B, 1, V]); saves the full-vocab
     # [B, S, V] projection during prefill (HF num_logits_to_keep parity)
@@ -749,7 +770,7 @@ def forward(
                 cache_kv=(kc, vc, ks, vs, layer_idx),
                 cache_offsets=offsets,
                 lora_scale=lora_scale, int4_stk=int4_stk,
-                layer_idx=layer_idx)
+                layer_idx=layer_idx, write_mask=write_mask)
             return (x, kc, vc, ks, vs), None
 
         step_fn = jax.checkpoint(step) if remat else step

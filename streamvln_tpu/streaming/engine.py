@@ -78,7 +78,8 @@ def _prefill_decode(
     host<->device link has per-transfer latency (tunneled TPUs; and it
     also minimizes PCIe round-trips on directly-attached hosts).
 
-    Returns (out [B, 1 + max_new] int32: n_out then tokens, cache,
+    Returns (out [B, 2 + max_new] int32: n_out, tokens, then a
+    trailing verify-forwards telemetry column, cache,
     feat_cache). Inactive rows (meta active=0) keep their KV lengths.
     """
     token_ids = packed[:, 0, :]
@@ -137,27 +138,37 @@ def _prefill_decode(
     logits, cache = qwen2.forward(
         params["llm"], cfg.llm, embeds, positions, cache=cache,
         new_lengths=lengths, attn_impl=attn_impl,
+        # idle rows' padded-bucket dummy writes become self-copies —
+        # a full idle row's clamped write would otherwise smash its
+        # live low KV slots (host guards cover only requested envs)
+        write_mask=active,
         logits_positions=lengths - 1)
     last_logits = logits[:, 0]
 
     # 4. greedy decode with early stop; inactive rows are done from the
     # start so they never extend the while loop
     stop_arr = jnp.asarray(stop_ids, jnp.int32)
-    if sample_params is not None:
-        temp, top_p, key = sample_params
-        out, n_out, cache = _sample_loop(
-            params, cfg, cache, last_logits, max_new, stop_arr,
-            attn_impl, compute_dtype, temp, top_p, key,
-            force_done=~active)
-        iters = jnp.maximum(n_out - 1, 0)
-    elif spec_k:
+    if ids_buf is not None:
         # token-id shadow of the KV slots: vision slots get -1 (never
         # drafted through); padding past `lengths` is invisible to the
-        # bigram match (bounded by cache.length)
+        # n-gram match (bounded by cache.length). Written on EVERY
+        # call that carries a shadow — sampled calls advance
+        # cache.length too, and a stale shadow region would silently
+        # collapse later speculative acceptance to ~1 token/forward.
         shadow = jnp.where(is_vision, jnp.int32(-1), token_ids)
         ids_buf = jax.vmap(
             lambda row, s, off: jax.lax.dynamic_update_slice(
                 row, s, (off,)))(ids_buf, shadow, offsets)
+    if sample_params is not None:
+        temp, top_p, key = sample_params
+        out, n_out, cache, ids_sampled = _sample_loop(
+            params, cfg, cache, last_logits, max_new, stop_arr,
+            attn_impl, compute_dtype, temp, top_p, key,
+            force_done=~active, ids_buf=ids_buf)
+        if ids_sampled is not None:
+            ids_buf = ids_sampled
+        iters = jnp.maximum(n_out - 1, 0)
+    elif spec_k:
         p0 = jnp.take_along_axis(
             token_ids, jnp.maximum(lengths - 1, 0)[:, None], axis=1
         )[:, 0]
@@ -200,6 +211,8 @@ def _greedy_loop(params, cfg, cache, last_logits, max_new: int,
         cache, cur, out, n, done = state
         return jnp.logical_and(jnp.any(~done), n < max_new)
 
+    wm = None if force_done is None else ~force_done
+
     def body(state):
         cache, cur, out, n, done = state
         emb = qwen2.embed_tokens(params["llm"], cur[:, None],
@@ -207,7 +220,7 @@ def _greedy_loop(params, cfg, cache, last_logits, max_new: int,
         pos = cache.length[:, None]
         logits, new_cache = qwen2.forward(
             params["llm"], cfg.llm, emb, pos, cache=cache,
-            attn_impl=attn_impl)
+            attn_impl=attn_impl, write_mask=wm)
         nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         # rows already done must not advance their lengths; their garbage
         # KV write lands past the frozen length, is never attended, and is
@@ -243,26 +256,34 @@ def _sample_tok(logits, temp, top_p, key):
     (TopPLogitsWarper: sort desc, drop tokens once the cumulative
     probability BEFORE them exceeds top_p, always keep the best;
     reference serving: llava/serve/model_worker.py:143-167).
-    Rows with temp ~ 0 take the argmax (HF do_sample gate at 0.001)."""
+    Rows with temp ~ 0 take the argmax (HF do_sample gate at 0.001).
+
+    Truncation is INDEX-based like HF's warper (keep the kth+1 best by
+    sorted position), not value-based: tokens tied with the cutoff
+    logit beyond the cutoff index are dropped, so tied inputs sample
+    the same support HF would."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     lg = (logits / jnp.maximum(temp, 1e-6)[:, None]).astype(jnp.float32)
     sl = jnp.sort(lg, axis=-1)[:, ::-1]
     pr = jax.nn.softmax(sl, axis=-1)
     before = jnp.cumsum(pr, axis=-1) - pr
     kth = jnp.maximum(jnp.sum(before <= top_p[:, None], axis=-1) - 1, 0)
-    thresh = jnp.take_along_axis(sl, kth[:, None], axis=-1)
-    masked = jnp.where(lg >= thresh, lg, -jnp.inf)
+    order = jnp.argsort(-lg, axis=-1)
+    ranks = jnp.argsort(order, axis=-1)
+    masked = jnp.where(ranks <= kth[:, None], lg, -jnp.inf)
     sampled = jax.random.categorical(key, masked, axis=-1)
     return jnp.where(temp > 1e-3, sampled.astype(jnp.int32), greedy)
 
 
 def _sample_loop(params, cfg, cache, last_logits, max_new: int,
                  stop_arr, attn_impl, compute_dtype, temp, top_p, key,
-                 force_done=None):
+                 force_done=None, ids_buf=None):
     """Sampling twin of _greedy_loop: temperature/top-p categorical
     picks instead of argmax (serving parity with the reference's
     do_sample generate; llava/serve/model_worker.py:148-167). Same KV
-    bookkeeping and stop semantics."""
+    bookkeeping and stop semantics. When the engine keeps a
+    speculative token-id shadow (ids_buf), fed tokens are recorded so
+    later speculative calls draft from fresh context."""
     B = last_logits.shape[0]
     key, sub = jax.random.split(key)
     first_tok = _sample_tok(last_logits, temp, top_p, sub)
@@ -271,19 +292,28 @@ def _sample_loop(params, cfg, cache, last_logits, max_new: int,
         return jnp.any(t[:, None] == stop_arr[None, :], axis=-1)
 
     out0 = jnp.zeros((B, max_new), jnp.int32).at[:, 0].set(first_tok)
+    track = ids_buf is not None
+    if not track:
+        ids_buf = jnp.zeros((B, 1), jnp.int32)    # dummy carry
 
     def cond(state):
-        _, _, _, n, done, _ = state
+        done, n = state[4], state[3]
         return jnp.logical_and(jnp.any(~done), n < max_new)
 
+    wm = None if force_done is None else ~force_done
+
     def body(state):
-        cache, cur, out, n, done, key = state
+        cache, cur, out, n, done, key, ids_buf = state
         emb = qwen2.embed_tokens(params["llm"], cur[:, None],
                                  cfg.llm).astype(compute_dtype)
         pos = cache.length[:, None]
+        if track:
+            ids_buf = jax.vmap(
+                lambda row, t, off: jax.lax.dynamic_update_slice(
+                    row, t[None], (off,)))(ids_buf, cur, cache.length)
         logits, new_cache = qwen2.forward(
             params["llm"], cfg.llm, emb, pos, cache=cache,
-            attn_impl=attn_impl)
+            attn_impl=attn_impl, write_mask=wm)
         key, sub = jax.random.split(key)
         nxt = _sample_tok(logits[:, 0], temp, top_p, sub)
         new_cache = KVCache(
@@ -295,20 +325,21 @@ def _sample_loop(params, cfg, cache, last_logits, max_new: int,
                             out, nxt, jnp.full((B,), 0, jnp.int32) + n))
         done_next = done | is_stop(nxt)
         cur = jnp.where(done_next, cur, nxt)
-        return (new_cache, cur, out, n + 1, done_next, key)
+        return (new_cache, cur, out, n + 1, done_next, key, ids_buf)
 
     done0 = is_stop(first_tok)
     if force_done is not None:
         done0 = jnp.logical_or(done0, force_done)
-    state = (cache, first_tok, out0, jnp.int32(1), done0, key)
-    cache, _, out, n_steps, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (cache, first_tok, out0, jnp.int32(1), done0, key, ids_buf)
+    cache, _, out, n_steps, _, _, ids_buf = jax.lax.while_loop(
+        cond, body, state)
 
     stop_mask = jnp.any(out[:, :, None] == stop_arr[None, None, :],
                         axis=-1)
     has_stop = jnp.any(stop_mask, axis=1)
     first_stop = jnp.argmax(stop_mask, axis=1)
     n_out = jnp.where(has_stop, first_stop + 1, n_steps)
-    return out, n_out, cache
+    return out, n_out, cache, (ids_buf if track else None)
 
 
 def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
@@ -334,6 +365,7 @@ def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
     B = last_logits.shape[0]
     k = spec_k
     cap = cache.capacity
+    wm = None if force_done is None else ~force_done
     first_tok = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 
     def is_stop_mat(t):          # [...] -> bool same shape
@@ -384,7 +416,7 @@ def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
             jnp.arange(k + 1, dtype=jnp.int32)[None]
         logits, new_cache = qwen2.forward(
             params["llm"], cfg.llm, emb, pos, cache=cache,
-            attn_impl=attn_impl)
+            attn_impl=attn_impl, write_mask=wm)
         truth = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B,k+1]
 
         # longest accepted prefix: d_{i+1} must equal truth[i]
@@ -474,10 +506,12 @@ def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
     stop_arr = jnp.asarray(stop_ids, jnp.int32)
     if sample_params is not None:
         temp, top_p, key = sample_params
-        out, n_out, cache = _sample_loop(
+        out, n_out, cache, ids_sampled = _sample_loop(
             params, cfg, cache, logits[:, 0], max_new, stop_arr,
             attn_impl, compute_dtype, temp, top_p, key,
-            force_done=~active)
+            force_done=~active, ids_buf=ids_buf)
+        if ids_sampled is not None:
+            ids_buf = ids_sampled
         iters = jnp.maximum(n_out - 1, 0)
     elif spec_k:
         out, n_out, cache, ids_buf, iters = _spec_loop(
@@ -762,33 +796,24 @@ class StreamingEngine:
                 f"envs {sorted(stale)} have an uncollected async handle; "
                 f"collect() it before dispatching them again (pending "
                 f"token / kv_length bookkeeping settles at collect)")
-        self._inflight.update(envs)
 
-        # shared bucket: max expanded length over the batch
+        # ---- validate EVERYTHING before mutating any engine state:
+        # a bucket/overflow error must leave the engine reusable (no
+        # leaked inflight marks or consumed feature slots) ----
         def ids_with_pending(env, turn_ids):
             ids = list(map(int, turn_ids))
             if self.envs[env].pending_token is not None:
                 ids = [self.envs[env].pending_token] + ids
             return ids
+        # shared bucket: max expanded length over the batch (may raise
+        # ValueError for an oversized prompt)
         pad_to = self._bucket(max(
             self._expanded_len(ids_with_pending(r[0], r[2]))
             for r in requests))
-
-        B = self.n_envs
-        nh = self.cfg.num_history
-        packed = np.zeros((B, 3, pad_to), np.int32)
-        meta = np.zeros((B, nh + 3), np.int32)
-        meta[:, nh + 1] = 1                   # inactive rows: 1 dummy tok
-        frame_shape = requests[0][1].shape
-        frames = np.zeros((B,) + frame_shape, requests[0][1].dtype)
-
         cap = self.cache.capacity
-        prefill_lens = {}
         for env, frame_u8, turn_ids, step_id, history_steps in requests:
-            layout, hist_slots, write_slot = self._prepare_request(
-                env, frame_u8, turn_ids, step_id, history_steps, pad_to)
-            worst = self.envs[env].kv_length + layout.length \
-                + self.max_new
+            length = self._expanded_len(ids_with_pending(env, turn_ids))
+            worst = self.envs[env].kv_length + length + self.max_new
             # the prefill writes the FULL padded bucket at this row's
             # offset; dynamic_update_slice CLAMPS a start that would
             # run past capacity, silently shifting the write down over
@@ -804,6 +829,20 @@ class StreamingEngine:
                     f"({worst} > capacity {cap}, incl. the padded "
                     f"{pad_to}-token bucket write); raise "
                     f"cache_capacity or shorten the window/prompt")
+
+        self._inflight.update(envs)
+        B = self.n_envs
+        nh = self.cfg.num_history
+        packed = np.zeros((B, 3, pad_to), np.int32)
+        meta = np.zeros((B, nh + 3), np.int32)
+        meta[:, nh + 1] = 1                   # inactive rows: 1 dummy tok
+        frame_shape = requests[0][1].shape
+        frames = np.zeros((B,) + frame_shape, requests[0][1].dtype)
+
+        prefill_lens = {}
+        for env, frame_u8, turn_ids, step_id, history_steps in requests:
+            layout, hist_slots, write_slot = self._prepare_request(
+                env, frame_u8, turn_ids, step_id, history_steps, pad_to)
             prefill_lens[env] = layout.length
             packed[env, 0] = layout.token_ids
             packed[env, 1] = layout.is_vision

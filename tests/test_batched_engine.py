@@ -148,3 +148,81 @@ def test_reset_reclaims_feature_slots():
         assert engine.envs[0].next_slot == 0
         assert not engine.envs[0].frame_slots
         assert engine.envs[0].pending_token is None
+
+
+def test_idle_env_kv_survives_other_envs_big_prefill():
+    """An idle env whose KV sits past (capacity - pad_to) must be
+    untouched by another env's padded-bucket prefill: the dummy write
+    for idle rows used to get its start CLAMPED by
+    dynamic_update_slice and smash the idle env's live low slots
+    (write_mask self-copy regression)."""
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+
+    def mk():
+        return StreamingEngine(
+            params, cfg, n_envs=2, stop_ids=(tok.im_end_id,),
+            compute_dtype=jnp.float32, max_new_tokens=4,
+            cache_capacity=1024, buckets=(128, 768))
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 255, (48, 64, 3), np.uint8)
+              for _ in range(8)]
+    fB = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    t0 = _turn(tok, chatml.observation_prompt(None, "go ahead"), True)
+    t1 = _turn(tok, chatml.observation_prompt(None, ""), False)
+    # env 1's prompt is long enough to force the 768 bucket
+    tb = _turn(tok, chatml.observation_prompt(
+        None, "navigate " * 40), True)
+
+    def fill_a(eng):
+        eng.generate(0, frames[0], t0, step_id=0)
+        i = 1
+        while eng.envs[0].kv_length <= 1024 - 768:
+            eng.generate(0, frames[i], t1, step_id=4 * i)
+            i += 1
+            assert i < 8, "fill loop runaway"
+        return i
+
+    ctrl = mk()
+    n = fill_a(ctrl)
+    want = ctrl.generate(0, frames[n], t1, step_id=4 * n)
+
+    eng = mk()
+    assert fill_a(eng) == n
+    # env 1's call carries a 768-wide padded dummy write for idle env 0
+    # at an offset that clamps (kv_length > capacity - 768)
+    eng.generate(1, fB, tb, step_id=0)
+    got = eng.generate(0, frames[n], t1, step_id=4 * n)
+    assert list(got) == list(want), f"idle env corrupted: {got} != {want}"
+
+
+def test_async_validation_failure_leaves_engine_reusable():
+    """A bucket/overflow rejection must not poison the envs: the
+    inflight mark and feature slots are only taken after ALL requests
+    validate (regression: mutate-then-raise bricked the env)."""
+    import pytest
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    eng = StreamingEngine(
+        params, cfg, n_envs=2, stop_ids=(tok.im_end_id,),
+        compute_dtype=jnp.float32, max_new_tokens=4,
+        cache_capacity=800, buckets=(768,))
+    rng = np.random.RandomState(4)
+    frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    t0 = _turn(tok, chatml.observation_prompt(None, "go"), True)
+    t1 = _turn(tok, chatml.observation_prompt(None, ""), False)
+
+    eng.generate(0, frame, t0, step_id=0)    # fits: 0 + 768 + slack
+    with pytest.raises(RuntimeError, match="overflow"):
+        # second turn: kv_length + the padded 768 write > 800
+        eng.generate(0, frame, t1, step_id=4)
+    # env 0 must still be usable after the rejection
+    eng.reset_for_env(0)
+    toks = eng.generate(0, frame, t0, step_id=0)
+    assert len(toks) >= 1
+    # and env 1 was never affected
+    toks1 = eng.generate(1, frame, t0, step_id=0)
+    assert len(toks1) >= 1
