@@ -130,7 +130,23 @@ class VLNAgent:
 
     def finish_model_step(self, idx: int):
         self.in_dialogue[idx] = True
+        self._advance(idx)
+
+    def _advance(self, idx: int):
+        """Advance the env step counter and perform window-reset
+        bookkeeping when the new step lands on a num_frames boundary.
+        Shared by model and non-model steps: a model call whose action
+        queue empties exactly at a boundary (possible whenever the LLM
+        emits != num_future_steps actions) must reset too, or the
+        dialogue silently runs a double-length window until the prompt
+        overflows. External drivers that also reset at boundaries
+        (reference parity: streamvln_eval.py:346-350) stay correct —
+        the reset is idempotent."""
         self.step_id[idx] += 1
+        if self.step_id[idx] % self.cfg.num_frames == 0:
+            self.engine.reset_for_env(idx)
+            self.in_dialogue[idx] = False
+            self.time_ids[idx] = []
 
     def step(self, idx: int, rgb: np.ndarray, instruction_text: str = "",
              run_model: bool = False, depth: Optional[np.ndarray] = None,
@@ -147,13 +163,10 @@ class VLNAgent:
         if not run_model:
             self.time_ids[idx].append(self.step_id[idx])
             self.rgb_list[idx].append(rgb)
-            # window-reset bookkeeping happens on the step BEFORE the
-            # boundary call (reference: streamvln_agent.py:192-199)
-            if (self.step_id[idx] + 1) % self.cfg.num_frames == 0:
-                self.engine.reset_for_env(idx)
-                self.in_dialogue[idx] = False
-                self.time_ids[idx] = []
-            self.step_id[idx] += 1
+            # window-reset bookkeeping on the step BEFORE the boundary
+            # call (reference: streamvln_agent.py:192-199) — shared
+            # with the model branch via _advance
+            self._advance(idx)
             return None, 0.0, None
 
         req = self.prepare_model_step(idx, rgb, instruction_text)

@@ -241,6 +241,12 @@ def test_streaming_action_tokens_match_torch_reference(stack, emit):
                 prev_out = []
             continue
 
+        # NOTE the unconditional boundary mirror at the END of the
+        # model branch below: the deployed reference resets on EVERY
+        # num_frames boundary (streamvln_eval.py:346-350 runs after
+        # env.step regardless of whether the step ran the model), and
+        # agent.finish_model_step now performs the same bookkeeping.
+
         req = agent.prepare_model_step(0, rgb, instruction)
         env_id, frame, turn_ids, step_id, history = req["request"]
         assert step_id == step
@@ -269,6 +275,11 @@ def test_streaming_action_tokens_match_torch_reference(stack, emit):
                 n_misaligned += 1
         queue.extend([1] * emit)
         queue.pop(0)       # the call's step consumes the first action
+        if (step + 1) % cfg.num_frames == 0:
+            # model call landed ON the boundary: the agent resets in
+            # finish_model_step; mirror on the torch side
+            tmodel.reset()
+            prev_out = []
 
     assert n_calls >= 10
     assert n_memory_calls >= 2   # >= 2 window boundaries w/ memory path

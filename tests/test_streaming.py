@@ -257,6 +257,11 @@ def test_misaligned_window_backfill_parity(setup, emit):
         assert got == want, f"step {step}: {got} != {want}"
         queue = [1] * emit
         queue.pop(0)
+        if (step + 1) % cfg.num_frames == 0:
+            # model call ON the boundary: finish_model_step resets
+            # (the deployed reference resets every boundary,
+            # streamvln_eval.py:346-350); mirror in the oracle
+            naive = None
 
     assert misaligned_memory_calls >= 2
     assert backfills, "expected at least one backfilled history frame"
@@ -371,3 +376,25 @@ def test_spec_lookup_decode_exactness(setup):
                       history_steps=hist_steps)
     assert a == b, f"boundary: {a} != {b}"
     assert greedy.envs[0].kv_length == spec.envs[0].kv_length
+
+
+def test_model_call_on_boundary_resets_window(setup):
+    """A model call whose step lands exactly on the num_frames boundary
+    must perform window-reset bookkeeping (previously only non-model
+    steps did; a queue that empties at the boundary silently ran a
+    double-length window)."""
+    from streamvln_tpu.agent import VLNAgent
+    cfg, params, tok = setup
+    eng = make_engine(cfg, params, tok, cache_capacity=4096,
+                      buckets=(768,))
+    agent = VLNAgent(eng, tok)
+    agent.reset_memory(0)
+    rng = np.random.RandomState(0)
+    nf = cfg.num_frames
+    for t in range(nf):
+        agent.step(0, rng.randint(0, 255, (48, 64, 3)).astype(np.uint8),
+                   "go", run_model=True)
+    assert agent.step_id[0] == nf
+    assert not agent.in_dialogue[0]
+    assert eng.envs[0].kv_length == 0
+    assert agent.time_ids[0] == []
