@@ -123,8 +123,11 @@ class VLNAgent:
         # the window-reset step in both regimes. Frames that never saw a
         # model call are encoded on demand via backfill.
         history = self._history_steps(idx) if boundary else []
-        for s in history:
-            self.engine.backfill(idx, self.rgb_list[idx][s], s)
+        if history:
+            # one dispatch for ALL missing history frames (engine
+            # dedupes already-encoded steps)
+            self.engine.backfill_batch(
+                idx, [self.rgb_list[idx][s] for s in history], history)
         return {"slot": idx,
                 "request": (idx, rgb, turn_ids, step, tuple(history))}
 

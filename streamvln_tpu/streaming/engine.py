@@ -561,6 +561,45 @@ def _encode_store(params, cfg: StreamVLNConfig, feat_cache: jax.Array,
         feat_cache, pooled[None, None], (env, write_slot, 0, 0))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "attn_impl", "fused_pre"))
+def _encode_store_batch(params, cfg: StreamVLNConfig,
+                        feat_cache: jax.Array,
+                        frames: jax.Array,        # [N, H, W, 3] uint8
+                        env: jax.Array,
+                        write_slots: jax.Array,   # [N] int32
+                        attn_impl: str = "auto",
+                        fused_pre: bool = False):
+    """Batched _encode_store: one tower pass + one dispatch for N
+    history frames (the misaligned-window boundary can need up to
+    num_history backfills; per-frame dispatches cost ~30 ms each on a
+    tunneled host — CLAUDE.md gotchas). Padding rows point their
+    write_slot at the scratch slot."""
+    if fused_pre:
+        from streamvln_tpu.models import projector as projector_lib
+        from streamvln_tpu.models.streamvln import pool_2d
+        feats = siglip_forward_raw(params["vision"], cfg.vision,
+                                   frames, attn_impl,
+                                   compute_dtype=feat_cache.dtype)
+        feats = projector_lib.forward(params["projector"], feats)
+        pooled = pool_2d(feats, cfg.vision.patches_per_side,
+                         cfg.spatial_pool_stride, cfg.spatial_pool_mode)
+    else:
+        pixels = preprocess_frames(frames, cfg.vision.image_size,
+                                   dtype=feat_cache.dtype)
+        pooled = streamvln.encode_frames(params, cfg, pixels[:, None],
+                                         attn_impl)
+    pooled = pooled.astype(feat_cache.dtype)      # [N, tpf, D]
+
+    def write(fc, i):
+        return jax.lax.dynamic_update_slice(
+            fc, pooled[i][None, None], (env, write_slots[i], 0, 0)), None
+    feat_cache, _ = jax.lax.scan(
+        write, feat_cache,
+        jnp.arange(frames.shape[0], dtype=jnp.int32))
+    return feat_cache
+
+
 @dataclasses.dataclass
 class EnvState:
     """Host-side per-env dialogue bookkeeping."""
@@ -927,19 +966,40 @@ class StreamingEngine:
     def backfill(self, env: int, frame_u8: np.ndarray, step_id: int):
         """Encode a history frame that was never seen at a model call
         (happens when the LLM emits != num_future_steps actions)."""
+        self.backfill_batch(env, [frame_u8], [step_id])
+
+    def backfill_batch(self, env: int, frames_u8, step_ids):
+        """Batched backfill: ONE dispatch for all missing history
+        frames (a misaligned boundary can need up to num_history; the
+        per-frame path cost one ~30 ms dispatch each on tunneled
+        hosts). Frames are padded to num_history rows (one compiled
+        shape); padding writes to the scratch slot."""
         st = self.envs[env]
-        if step_id in st.frame_slots:
+        missing = [(f, s) for f, s in zip(frames_u8, step_ids)
+                   if s not in st.frame_slots]
+        if not missing:
             return
-        slot = st.next_slot
-        if slot >= self.feat_slots:
+        if st.next_slot + len(missing) > self.feat_slots:
             raise RuntimeError(
                 f"env {env}: frame-feature cache full "
                 f"({self.feat_slots} slots); raise feat_slots")
-        st.frame_slots[step_id] = slot
-        st.next_slot += 1
-        self.feat_cache = _encode_store(
+        slots = []
+        for _, s in missing:
+            st.frame_slots[s] = st.next_slot
+            slots.append(st.next_slot)
+            st.next_slot += 1
+        n_pad = self.cfg.num_history
+        while len(slots) > n_pad:       # more than one window's worth
+            n_pad *= 2
+        frames = np.zeros((n_pad,) + missing[0][0].shape,
+                          missing[0][0].dtype)
+        wslots = np.full((n_pad,), self.feat_slots, np.int32)  # scratch
+        for i, (f, _) in enumerate(missing):
+            frames[i] = f
+            wslots[i] = slots[i]
+        self.feat_cache = _encode_store_batch(
             self.params, self.cfg, self.feat_cache,
-            jnp.asarray(frame_u8), jnp.int32(env), jnp.int32(slot),
+            jnp.asarray(frames), jnp.int32(env), jnp.asarray(wslots),
             self.attn_impl, self.fused_preprocess)
 
     def _expanded_len(self, ids) -> int:

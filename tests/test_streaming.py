@@ -222,12 +222,14 @@ def test_misaligned_window_backfill_parity(setup, emit):
     agent = VLNAgent(engine, tok)
 
     backfills = []
-    orig_backfill = engine.backfill
+    orig_backfill = engine.backfill_batch
 
-    def spy(env, frame_u8, step_id):
-        backfills.append(step_id)
-        return orig_backfill(env, frame_u8, step_id)
-    engine.backfill = spy
+    def spy(env, frames_u8, step_ids):
+        backfills.extend(
+            s for s in step_ids
+            if s not in engine.envs[env].frame_slots)
+        return orig_backfill(env, frames_u8, step_ids)
+    engine.backfill_batch = spy
 
     rng = np.random.RandomState(6)
     frames = {}
