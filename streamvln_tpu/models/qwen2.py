@@ -365,26 +365,22 @@ def _proj(x, p, name, lora_scale=None, act_int8=False, int4_stk=None,
     STACKED [L, din/2, dout] (pulled out of the layer scan's xs by
     `forward`) and dispatch to the fused dequant-matmul Pallas kernel
     (ops/int4_matmul.py) for small row counts — decode streams the
-    packed 0.5 B/weight straight from HBM. Large row counts (prefill)
-    fall back to a per-layer materialized dequant, which the dense
-    MXU dot then amortizes across rows."""
+    packed 0.5 B/weight straight from HBM. Large row counts (prefill /
+    training) go through the Pallas dequant-materialize + dense-dot
+    path (int4_prefill_matmul): the materialization is bandwidth-cheap
+    against a compute-bound dot, and XLA's own nibble-unpack codegen
+    is ~10x off bandwidth (and OOMs the 14B on i32 temporaries)."""
     if int4_stk is not None and name in int4_stk:
         from streamvln_tpu.ops.int4_matmul import (
-            KERNEL_MAX_ROWS, int4_matmul)
+            KERNEL_MAX_ROWS, int4_matmul, int4_prefill_matmul)
         wq, sq = int4_stk[name], int4_stk[name + "_scale"]
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
+        interp = jax.default_backend() != "tpu"
         if x2.shape[0] <= KERNEL_MAX_ROWS:
-            out = int4_matmul(x2, wq, sq, layer_idx,
-                              jax.default_backend() != "tpu")
+            out = int4_matmul(x2, wq, sq, layer_idx, interp)
         else:
-            from streamvln_tpu.models.quant import dequant_int4
-            wl = jax.lax.dynamic_index_in_dim(wq, layer_idx, 0,
-                                              keepdims=False)
-            sl = jax.lax.dynamic_index_in_dim(sq, layer_idx, 0,
-                                              keepdims=False)
-            out = jnp.dot(x2, dequant_int4(wl, sl, x.dtype),
-                          preferred_element_type=jnp.float32)
+            out = int4_prefill_matmul(x2, wq, sq, layer_idx, interp)
         out = out.reshape(*lead, wq.shape[-1])
         w = None
         scale = None
@@ -878,17 +874,23 @@ def lm_head_logits(params: Params, x: jax.Array) -> jax.Array:
     elif head.dtype == jnp.uint8:
         from streamvln_tpu.models.quant import dequant_int4
         from streamvln_tpu.ops.int4_matmul import (
-            KERNEL_MAX_ROWS, int4_kernel_eligible, int4_matmul)
+            KERNEL_MAX_ROWS, int4_kernel_eligible, int4_matmul,
+            int4_prefill_matmul)
         sc = params["lm_head_scale"]
         x2 = x.reshape(-1, x.shape[-1])
-        if int4_kernel_eligible(head[None], sc[None]) \
-                and x2.shape[0] <= KERNEL_MAX_ROWS:
-            # decode-path vocab projection: at 7B the packed lm_head is
-            # ~270 MB vs a ~1.1 GB materialized bf16 dequant — stream
-            # it through the fused kernel ([1, din/2, V], layer 0)
-            logits = int4_matmul(x2, head[None], sc[None],
-                                 jnp.int32(0),
-                                 jax.default_backend() != "tpu")
+        if int4_kernel_eligible(head[None], sc[None]):
+            interp = jax.default_backend() != "tpu"
+            if x2.shape[0] <= KERNEL_MAX_ROWS:
+                # decode-path vocab projection: at 7B the packed
+                # lm_head is ~270 MB vs a ~1.1 GB materialized bf16
+                # dequant — stream it through the fused kernel
+                # ([1, din/2, V], layer 0)
+                logits = int4_matmul(x2, head[None], sc[None],
+                                     jnp.int32(0), interp)
+            else:
+                # prefill rows: Pallas dequant-materialize + dense dot
+                logits = int4_prefill_matmul(x2, head[None], sc[None],
+                                             jnp.int32(0), interp)
             return logits.reshape(*x.shape[:-1], head.shape[-1])
         head = dequant_int4(head, sc, x.dtype)
     logits = jnp.dot(x, head, preferred_element_type=jnp.float32)

@@ -64,10 +64,16 @@ _BLOCK_N = 512       # dout tile
 # alongside the [half, BN] weight block; ~1 MB per x array keeps the
 # total well under the ~16 MB VMEM.
 _X_TILE_BYTES = 1 << 20
-# Above this many rows the dense dequant+dot path wins (the kernel
+# Above this many rows the dequant+dot path wins (the fused kernel
 # re-unpacks the weight block once per row tile; prefill is
 # compute-bound and reuses a single materialized dequant instead).
+# The materialization itself runs through the Pallas unpack kernel
+# below — XLA's own nibble-unpack codegen is ~10x off bandwidth
+# (measured 1.9 ms flat for a 34 MB packed gate/up vs ~0.25 ms
+# roofline; engine-level it made int4 prefill 2x slower than int8 and
+# OOM'd the 14B at warmup on i32 unpack temporaries).
 KERNEL_MAX_ROWS = 128
+_DQ_RB = 256         # packed rows per dequant block (= 8 scale groups)
 
 
 def int4_kernel_eligible(w_packed, scales) -> bool:
@@ -159,6 +165,108 @@ def _int4_matmul_fwd_impl(x, w_packed, scales, layer,
     )(jnp.asarray(layer, jnp.int32).reshape(1), xe, xo, w_packed,
       scales)
     return out[:M]
+
+
+def _dequant_kernel(l_ref, wp_ref, sc_ref, o_ref):
+    rb, n = wp_ref.shape[1], wp_ref.shape[2]
+    pi = wp_ref[0].astype(jnp.int32)
+    lo = (pi << 28) >> 28                    # sign-extended low nibble
+    hi = (pi << 24) >> 28                    # sign-extended high nibble
+    s = sc_ref[0]                            # [rb/32, N] f32 group scales
+    srep = jnp.broadcast_to(
+        s.reshape(rb // 32, 1, n), (rb // 32, 32, n)).reshape(rb, n)
+    o_ref[0] = (lo.astype(jnp.float32) * srep).astype(o_ref.dtype)
+    o_ref[1] = (hi.astype(jnp.float32) * srep).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dtype", "interpret"))
+def int4_dequant_split(w_packed, scales, layer, dtype=jnp.bfloat16,
+                       interpret: bool = False):
+    """Pallas unpack: [L, half, dout] packed u8 -> [2, half, dout]
+    `dtype`, out[0] = low-nibble rows (original even rows), out[1] =
+    high (odd). Runs at HBM bandwidth; pair with an even/odd column
+    reorder of x (`_split_cols`) so a consumer dot sees the standard
+    contraction as one big MXU call. The split layout avoids a
+    sublane interleave in the kernel (strided row writes don't tile)."""
+    L, half, dout = w_packed.shape
+    assert int4_kernel_eligible(w_packed, scales), \
+        (w_packed.shape, scales.shape)
+    G = half * 2 // GROUP
+    nr, nd = half // _DQ_RB, dout // _BLOCK_N
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nr, nd),
+        in_specs=[
+            pl.BlockSpec((1, _DQ_RB, _BLOCK_N),
+                         lambda r, d, l: (l[0], r, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _DQ_RB // 32, _BLOCK_N),
+                         lambda r, d, l: (l[0], r, d),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, _DQ_RB, _BLOCK_N),
+                               lambda r, d, l: (0, r, d),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _dequant_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, half, dout), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), w_packed, scales)
+
+
+def _split_cols(x):
+    """[M, din] -> [M, din] with even columns first, odd after —
+    matches int4_dequant_split's [lo-rows; hi-rows] stacking."""
+    return jnp.concatenate([x[:, 0::2], x[:, 1::2]], axis=1)
+
+
+def _merge_cols(x):
+    """Inverse of _split_cols (used for dx in the backward)."""
+    M, din = x.shape
+    half = din // 2
+    return jnp.stack([x[:, :half], x[:, half:]],
+                     axis=-1).reshape(M, din)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def int4_prefill_matmul(x: jax.Array,         # [M, din] float rows
+                        w_packed: jax.Array,  # [L, din/2, dout] uint8
+                        scales: jax.Array,    # [L, din/64, dout] f32
+                        layer: jax.Array,     # int32 scalar (traced ok)
+                        interpret: bool = False) -> jax.Array:
+    """x @ dequant(w_packed[layer]) for LARGE row counts (prefill /
+    training): Pallas dequant-materialize + one dense MXU dot. The
+    bf16 materialization costs ~2.5 B/weight of extra HBM traffic —
+    negligible against a compute-bound dot — while the fused streaming
+    kernel (int4_matmul) re-unpacks per row tile and loses above
+    ~KERNEL_MAX_ROWS rows."""
+    w2 = int4_dequant_split(w_packed, scales, layer, x.dtype, interpret)
+    half, dout = w_packed.shape[1], w_packed.shape[2]
+    return jnp.dot(_split_cols(x), w2.reshape(2 * half, dout),
+                   preferred_element_type=jnp.float32)
+
+
+def _pf_fwd(x, w_packed, scales, layer, interpret):
+    out = int4_prefill_matmul(x, w_packed, scales, layer, interpret)
+    return out, (jnp.zeros((0,), x.dtype), w_packed, scales, layer)
+
+
+def _pf_bwd(interpret, res, g):
+    dt_probe, w_packed, scales, layer = res
+    half, dout = w_packed.shape[1], w_packed.shape[2]
+    w2 = int4_dequant_split(w_packed, scales, layer, dt_probe.dtype,
+                            interpret)
+    dxs = jnp.dot(g.astype(dt_probe.dtype),
+                  w2.reshape(2 * half, dout).T)
+    return _merge_cols(dxs).astype(dt_probe.dtype), None, None, None
+
+
+int4_prefill_matmul.defvjp(_pf_fwd, _pf_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -126,9 +126,49 @@ def test_forward_kernel_decode_with_cache():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_large_rows_fall_back_to_dequant():
-    """Above KERNEL_MAX_ROWS the _proj dispatch uses the materialized
-    dequant (prefill regime) — results still match."""
+def test_dequant_split_matches_reference():
+    """int4_dequant_split == dequant_int4 with even/odd rows regrouped
+    into the [lo-rows; hi-rows] split layout."""
+    from streamvln_tpu.ops.int4_matmul import int4_dequant_split
+    _, wp, sc = _mk()
+    for layer in (0, 1):
+        ref = quant.dequant_int4(wp[layer], sc[layer], jnp.float32)
+        out = np.asarray(int4_dequant_split(
+            wp, sc, jnp.int32(layer), jnp.float32, True))
+        np.testing.assert_allclose(out[0], np.asarray(ref[0::2]),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(out[1], np.asarray(ref[1::2]),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_prefill_matmul_matches_and_differentiates():
+    """int4_prefill_matmul (Pallas dequant + dense dot) matches the
+    materialized reference forward AND backward (QLoRA dx)."""
+    from streamvln_tpu.ops.int4_matmul import int4_prefill_matmul
+    _, wp, sc = _mk()
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(192, 512).astype(np.float32))
+
+    def f_kernel(x):
+        return int4_prefill_matmul(x, wp, sc, jnp.int32(1), True).sum()
+
+    def f_ref(x):
+        wd = quant.dequant_int4(wp[1], sc[1], jnp.float32)
+        return (x @ wd).sum()
+
+    out = int4_prefill_matmul(x, wp, sc, jnp.int32(1), True)
+    ref = x @ quant.dequant_int4(wp[1], sc[1], jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    g = jax.grad(f_kernel)(x)
+    gr = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_large_rows_use_dequant_kernel_path():
+    """Above KERNEL_MAX_ROWS the _proj dispatch uses the Pallas
+    dequant-materialize + dense-dot path — results still match."""
     cfg = _eligible_cfg()
     params = qwen2.init(jax.random.PRNGKey(0), cfg, jnp.float32)
     q4 = quant.quantize_llm({"llm": params}, bits=4)["llm"]
