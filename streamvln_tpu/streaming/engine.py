@@ -53,7 +53,15 @@ DEFAULT_BUCKETS = (256, 512, 768, 1024, 1536, 2048, 2560, 3072, 4096)
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new", "stop_ids", "attn_impl",
-                     "fused_pre", "spec_k"))
+                     "fused_pre", "spec_k"),
+    # the engine replaces its cache/feat_cache/ids_buf with this call's
+    # outputs, so the inputs are dead on dispatch: donating them lets
+    # XLA update the KV append in place instead of allocating a second
+    # full-capacity cache per call — at 14B-int4 (params 8.9 GiB +
+    # cache 1.6 GiB) the duplicate cache was the difference between
+    # fitting and RESOURCE_EXHAUSTED on the 16 GB chip, and at every
+    # size it deletes a cache-sized HBM copy per call
+    donate_argnames=("cache", "feat_cache", "ids_buf"))
 def _prefill_decode(
     params,
     cfg: StreamVLNConfig,
@@ -472,7 +480,8 @@ def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "max_new", "stop_ids", "attn_impl",
-                              "spec_k", "compute_dtype"))
+                              "spec_k", "compute_dtype"),
+    donate_argnames=("cache", "ids_buf"))
 def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
                      pending: jax.Array,      # [B] int32
                      active: jax.Array,       # [B] bool
@@ -533,7 +542,8 @@ def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "attn_impl", "fused_pre"))
+                   static_argnames=("cfg", "attn_impl", "fused_pre"),
+                   donate_argnames=("feat_cache",))
 def _encode_store(params, cfg: StreamVLNConfig, feat_cache: jax.Array,
                   frame: jax.Array, env: jax.Array, write_slot: jax.Array,
                   attn_impl: str = "auto", fused_pre: bool = False):
@@ -562,7 +572,8 @@ def _encode_store(params, cfg: StreamVLNConfig, feat_cache: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "attn_impl", "fused_pre"))
+                   static_argnames=("cfg", "attn_impl", "fused_pre"),
+                   donate_argnames=("feat_cache",))
 def _encode_store_batch(params, cfg: StreamVLNConfig,
                         feat_cache: jax.Array,
                         frames: jax.Array,        # [N, H, W, 3] uint8
