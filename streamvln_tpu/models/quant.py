@@ -247,23 +247,38 @@ def init_quantized_llm(rng: jax.Array, cfg, compute_dtype=jnp.bfloat16,
     params = {"layers": layers,
               "final_norm": jnp.ones((Dm,), compute_dtype)}
 
+    # embed / lm_head init+quantize run as single jitted (fused) passes:
+    # eagerly, each elementwise step materializes a [V, Dm] f32/i32
+    # temporary (~3 GiB at 14B's 152k x 5120) and the async transient
+    # stack pushed the 14B build past the chip's HBM — the failure only
+    # surfaced at the first blocking readback, as a RESOURCE_EXHAUSTED
+    # on the engine's first call. Fused, the peak is one f32 table +
+    # the quantized output.
     @jax.jit
-    def emb_fp(k):
-        return jax.random.normal(k, (V, Dm), jnp.float32) * (Dm ** -0.5)
-
-    emb = emb_fp(keys[8])
-    if quantize_embed:
+    def emb_q(k):
+        emb = jax.random.normal(k, (V, Dm), jnp.float32) * (Dm ** -0.5)
         amax = jnp.max(jnp.abs(emb), axis=-1, keepdims=True)
         scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-        params["embed"] = jnp.clip(jnp.round(emb / scale), -127,
-                                   127).astype(jnp.int8)
-        params["embed_scale"] = scale.astype(compute_dtype)
+        q = jnp.clip(jnp.round(emb / scale), -127, 127).astype(jnp.int8)
+        return q, scale.astype(compute_dtype)
+
+    @jax.jit
+    def emb_plain(k):
+        return (jax.random.normal(k, (V, Dm), jnp.float32)
+                * (Dm ** -0.5)).astype(compute_dtype)
+
+    @jax.jit
+    def head_q(k):
+        head = (jax.random.normal(k, (V, Dm), jnp.float32)
+                * (Dm ** -0.5)).T
+        return qfn(head)
+
+    if quantize_embed:
+        params["embed"], params["embed_scale"] = emb_q(keys[8])
     else:
-        params["embed"] = emb.astype(compute_dtype)
-    del emb
+        params["embed"] = emb_plain(keys[8])
     if not cfg.tie_word_embeddings:
-        head = emb_fp(keys[9]).T
-        q, s = qfn(head)
+        q, s = head_q(keys[9])
         params["lm_head"] = q
         params["lm_head_scale"] = s
     return params
