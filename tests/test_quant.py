@@ -251,3 +251,40 @@ def test_int4_engine_decode_runs():
     toks = eng.generate(0, np.zeros((48, 64, 3), np.uint8), ids,
                         step_id=0)
     assert 1 <= len(toks) <= 4
+
+
+def test_init_quantized_llm_matches_eager_reference():
+    """The jitted (fused) embed/lm_head init must equal the eager math
+    it replaced — the fusion exists purely to cap HBM transients (the
+    eager [vocab, hidden] temporaries OOM'd the 14B-int4 build; the
+    async failure surfaced as RESOURCE_EXHAUSTED on the engine's first
+    call). Same keys, same ops, identical outputs."""
+    cfg = tiny_llm()
+    for bits in (8, 4):
+        params = quant.init_quantized_llm(
+            jax.random.PRNGKey(7), cfg, jnp.float32, bits=bits)
+
+        keys = jax.random.split(jax.random.PRNGKey(7), 16)
+        V, Dm = cfg.vocab_size, cfg.hidden_size
+        emb = jax.random.normal(keys[8], (V, Dm), jnp.float32) \
+            * (Dm ** -0.5)
+        amax = jnp.max(jnp.abs(emb), axis=-1, keepdims=True)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        ref_emb = jnp.clip(jnp.round(emb / scale), -127,
+                           127).astype(jnp.int8)
+        np.testing.assert_array_equal(np.asarray(params["embed"]),
+                                      np.asarray(ref_emb))
+        np.testing.assert_allclose(
+            np.asarray(params["embed_scale"]),
+            np.asarray(scale.astype(jnp.float32)), rtol=1e-6)
+
+        if not cfg.tie_word_embeddings:
+            head = (jax.random.normal(keys[9], (V, Dm), jnp.float32)
+                    * (Dm ** -0.5)).T
+            qfn = (quant.quantize_weight if bits == 8
+                   else quant.quantize_weight_int4)
+            ref_q, ref_s = qfn(head)
+            np.testing.assert_array_equal(np.asarray(params["lm_head"]),
+                                          np.asarray(ref_q))
+            np.testing.assert_allclose(np.asarray(params["lm_head_scale"]),
+                                       np.asarray(ref_s), rtol=1e-6)
