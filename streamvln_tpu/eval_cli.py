@@ -41,26 +41,54 @@ def build_agent(model_path: Optional[str], model_size: str = "7b",
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
         else jnp.float32
     tok = load_tokenizer(model_path, model_max_length)
-    if model_path and os.path.isdir(model_path) and any(
-            f.endswith((".safetensors", ".bin"))
-            for f in os.listdir(model_path)):
-        params = convert_hf.load_streamvln_checkpoint(model_path, cfg,
-                                                      dtype)
+    has_ckpt = bool(model_path and os.path.isdir(model_path) and any(
+        f.endswith((".safetensors", ".bin"))
+        for f in os.listdir(model_path)))
+
+    def build_params():
+        if has_ckpt:
+            params = convert_hf.load_streamvln_checkpoint(
+                model_path, cfg, dtype)
+        else:
+            params = streamvln.init(jax.random.PRNGKey(0), cfg, dtype)
+        if lora_adapters:
+            # 'lora' model-builder dispatch: attach exported adapters
+            # and fold them (reference: llava/model/builder.py:40-80)
+            from streamvln_tpu.models import lora as lora_lib
+            params = lora_lib.merge_lora(
+                lora_lib.apply_adapters_npz(params, lora_adapters))
+        if bits in (4, 8):
+            # inference-time weight quantization (reference model
+            # builder: llava/model/builder.py load_4bit/load_8bit).
+            # int4 decode streams through the fused dequant-matmul
+            # kernel (ops/int4_matmul.py) at 0.5 B/weight.
+            from streamvln_tpu.models import quant
+            params = quant.quantize_llm(params, bits=bits)
+        return params
+
+    if (has_ckpt or lora_adapters or bits in (4, 8)) \
+            and jax.default_backend() != "cpu":
+        # Stage on the host CPU backend, place only the FINAL tree: a
+        # real 7B checkpoint arrives bf16 (15.2 GB — never fits a
+        # 16 GB chip pre-quantization), and both the LoRA fold and the
+        # --bits quantization materialize full f32 layer stacks as
+        # temporaries. Device-side staging RESOURCE_EXHAUSTs before
+        # the engine even builds; the reference avoids the same trap
+        # by quantizing during load (bitsandbytes load_4bit/load_8bit,
+        # streamvln_train.py:1564-1600). Host RAM is the staging
+        # budget (TPU-VM hosts carry >100 GB).
+        host = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(host):
+            params = build_params()
+            # pre-fuse on the host too: the engine's own fuse would
+            # otherwise hold fused + unfused projection stacks on the
+            # chip at once (~4-5 GB transient at 7B/14B); here the
+            # engine's fuse becomes a no-op
+            from streamvln_tpu.models.fuse import fuse_projections
+            params = fuse_projections(params)
+        params = jax.device_put(params, jax.devices()[0])
     else:
-        params = streamvln.init(jax.random.PRNGKey(0), cfg, dtype)
-    if lora_adapters:
-        # 'lora' model-builder dispatch: attach exported adapters and
-        # fold them (reference: llava/model/builder.py:40-80)
-        from streamvln_tpu.models import lora as lora_lib
-        params = lora_lib.merge_lora(
-            lora_lib.apply_adapters_npz(params, lora_adapters))
-    if bits in (4, 8):
-        # inference-time weight quantization (reference model builder:
-        # llava/model/builder.py load_4bit/load_8bit). int4 decode
-        # streams through the fused dequant-matmul kernel
-        # (ops/int4_matmul.py) at 0.5 B/weight.
-        from streamvln_tpu.models import quant
-        params = quant.quantize_llm(params, bits=bits)
+        params = build_params()
     stop = {tok.im_end_id}
     if hasattr(tok, "eos_id"):
         stop.add(tok.eos_id)
