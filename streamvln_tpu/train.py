@@ -241,35 +241,49 @@ def main(argv: Optional[List[str]] = None):
     mesh = mesh_lib.make_mesh(dp=args.dp, fsdp=args.fsdp, tp=args.tp)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
         else jnp.float32
-    if args.model_path:
-        params = convert_hf.load_streamvln_checkpoint(
-            args.model_path, cfg, dtype)
+    if args.bits in (4, 8) and not args.lora_enable:
+        # int leaves carry float0 grads; only the LoRA path's
+        # set_to_zero branch tolerates them (reference's k-bit
+        # load likewise requires PEFT adapters,
+        # streamvln_train.py:1564-1632)
+        raise SystemExit(f"--bits {args.bits} requires --lora_enable")
+    if args.act_int8 and args.bits != 8:
+        raise SystemExit("--act_int8 requires --bits 8 (group-wise "
+                         "int4 scales cannot ride the int32 output)")
+    if args.act_int8:
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, act_int8=True))
+
+    def build_params():
+        if args.model_path:
+            params = convert_hf.load_streamvln_checkpoint(
+                args.model_path, cfg, dtype)
+        else:
+            params = streamvln.init(jax.random.PRNGKey(args.seed), cfg,
+                                    dtype)
+        if args.bits in (4, 8):
+            from streamvln_tpu.models import quant
+            params = quant.quantize_llm(params, bits=args.bits)
+        if args.lora_enable:
+            from streamvln_tpu.models import lora as lora_lib
+            params = lora_lib.add_lora(params, jax.random.PRNGKey(
+                args.seed + 1), cfg.llm, rank=args.lora_r,
+                alpha=args.lora_alpha)
+        return params
+
+    if (args.model_path or args.bits in (4, 8)) \
+            and jax.default_backend() != "cpu":
+        # Stage on the host: a real 7B checkpoint arrives bf16
+        # (15.2 GB) and quantize_llm materializes full f32 layer
+        # stacks — neither fits a 16 GB chip pre-quantization.
+        # shard_params places only the final (packed + LoRA) tree over
+        # the mesh. Same posture as eval_cli.build_agent and the
+        # reference's quantize-during-load (bitsandbytes).
+        host = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(host):
+            params = build_params()
     else:
-        params = streamvln.init(jax.random.PRNGKey(args.seed), cfg, dtype)
-    if args.bits in (4, 8):
-        if not args.lora_enable:
-            # int leaves carry float0 grads; only the LoRA path's
-            # set_to_zero branch tolerates them (reference's k-bit
-            # load likewise requires PEFT adapters,
-            # streamvln_train.py:1564-1632)
-            raise SystemExit(f"--bits {args.bits} requires "
-                             f"--lora_enable")
-        from streamvln_tpu.models import quant
-        params = quant.quantize_llm(params, bits=args.bits)
-        if args.act_int8:
-            if args.bits != 8:
-                raise SystemExit("--act_int8 requires --bits 8 "
-                                 "(group-wise int4 scales cannot ride "
-                                 "the int32 output)")
-            cfg = dataclasses.replace(
-                cfg, llm=dataclasses.replace(cfg.llm, act_int8=True))
-    elif args.act_int8:
-        raise SystemExit("--act_int8 requires --bits 8")
-    if args.lora_enable:
-        from streamvln_tpu.models import lora as lora_lib
-        params = lora_lib.add_lora(params, jax.random.PRNGKey(
-            args.seed + 1), cfg.llm, rank=args.lora_r,
-            alpha=args.lora_alpha)
+        params = build_params()
     params = mesh_lib.shard_params(params, mesh)
     state = train_lib.create_train_state(params, tcfg)
     state, start_step = ckpt.resume_latest(
