@@ -400,3 +400,33 @@ def test_model_call_on_boundary_resets_window(setup):
     assert not agent.in_dialogue[0]
     assert eng.envs[0].kv_length == 0
     assert agent.time_ids[0] == []
+
+
+def test_moe_engine_streaming_parity():
+    """Sparse-MoE LLM (Mixtral/Qwen2-MoE wrapper families) through the
+    streaming engine: incremental KV-cached decode must match naive
+    full recompute. Covers _moe_mlp (router + shared expert) inside
+    both the prefill forward and the decode-loop _layer_step — the
+    reference serves its MoE wrapper through the same HF generate path
+    as the dense models (llava/model/language_model/llava_qwen_moe.py).
+    """
+    import dataclasses
+    base = tiny_streamvln()
+    cfg = dataclasses.replace(base, llm=dataclasses.replace(
+        base.llm, num_experts=4, num_experts_per_tok=2,
+        shared_expert_intermediate_size=32))
+    params = streamvln.init(jax.random.PRNGKey(3), cfg)
+    tok = ByteTokenizer()
+    engine = make_engine(cfg, params, tok)
+    naive = NaiveDialogue(cfg, params, tok, max_new=6)
+    rng = np.random.RandomState(7)
+
+    for call in range(3):
+        frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        text = chatml.observation_prompt(None, "walk ahead"
+                                         if call == 0 else "")
+        ids = _turn(tok, text, add_system=(call == 0))
+        got = engine.generate(0, frame, ids,
+                              step_id=call * cfg.num_future_steps)
+        want = naive.generate(frame, ids)
+        assert got == want, f"call {call}: {got} != {want}"
