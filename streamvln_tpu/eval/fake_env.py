@@ -65,13 +65,22 @@ class FakeNavEnv:
     def __init__(self, episodes: List[FakeEpisode],
                  max_episode_steps: int = 500,
                  rgb_shape=(480, 640, 3),
-                 step_time_s: float = 0.0):
+                 step_time_s: float = 0.0,
+                 observable_goal: bool = False):
         self.episodes = episodes
         self.max_episode_steps = max_episode_steps
         self.rgb_shape = rgb_shape
         # simulate habitat's host-side C++ step cost (10-30 ms; SURVEY
         # §7 hard part 5) for overlap benchmarks
         self.step_time_s = step_time_s
+        # observable_goal renders a LEARNABLE observation: the frame
+        # encodes the goal-relative bearing (red/blue split column) and
+        # distance (green level), so the shortest-path expert's policy
+        # is a function of the pixels and closed-loop learning
+        # (oracle data -> SFT -> higher eval SR) is testable without a
+        # real simulator. Default off keeps the legacy procedural
+        # pattern (pose-dependent but goal-blind).
+        self.observable_goal = observable_goal
         self.current_episode: Optional[FakeEpisode] = None
         self._tracker: Optional[EpisodeTracker] = None
         self._pose = np.zeros(3)
@@ -135,16 +144,57 @@ class FakeNavEnv:
     def _observe(self) -> Dict[str, np.ndarray]:
         H, W, _ = self.rgb_shape
         x, y, th = self._pose
-        # procedural pose-dependent pattern (cheap, deterministic)
-        u = np.linspace(0, 4 * np.pi, W, dtype=np.float32)
-        v = np.linspace(0, 3 * np.pi, H, dtype=np.float32)
-        uu, vv = np.meshgrid(u, v)
-        phase = np.float32(x * 2.1 + y * 3.3)
-        r = np.sin(uu + th) * np.cos(vv + phase)
-        g = np.sin(uu * 0.5 + phase) * np.sin(vv + th)
-        b = np.cos(uu + vv + x - y)
-        rgb = np.stack([r, g, b], -1)
-        rgb = ((rgb + 1) * 127.5).astype(np.uint8)
+        if self.observable_goal:
+            rgb = self._observe_goal(H, W)
+        else:
+            # procedural pose-dependent pattern (cheap, deterministic)
+            u = np.linspace(0, 4 * np.pi, W, dtype=np.float32)
+            v = np.linspace(0, 3 * np.pi, H, dtype=np.float32)
+            uu, vv = np.meshgrid(u, v)
+            phase = np.float32(x * 2.1 + y * 3.3)
+            r = np.sin(uu + th) * np.cos(vv + phase)
+            g = np.sin(uu * 0.5 + phase) * np.sin(vv + th)
+            b = np.cos(uu + vv + x - y)
+            rgb = np.stack([r, g, b], -1)
+            rgb = ((rgb + 1) * 127.5).astype(np.uint8)
+        return self._finish_obs(rgb, H, W)
+
+    def _observe_goal(self, H: int, W: int) -> np.ndarray:
+        """Goal-observable rendering, robust to aggressive spatial
+        pooling: the red/blue split column position encodes the
+        goal-relative bearing (all-red = goal hard left, all-blue =
+        hard right, split centered = dead ahead), and the green channel
+        level encodes distance-to-goal. Channel MEANS are linear in
+        (bearing, distance), so even a 2x2-pooled tiny tower can read
+        the expert's decision variables."""
+        x, y, th = self._pose
+        goal = np.asarray(self.current_episode.goal_position, np.float64)
+        bearing = np.arctan2(goal[1] - y, goal[0] - x) - th
+        bearing = (bearing + np.pi) % (2 * np.pi) - np.pi   # [-pi, pi)
+        dist = float(np.hypot(goal[0] - x, goal[1] - y))
+        # split column sweeps the full screen over bearing in [-45deg,
+        # +45deg] (saturating beyond): goal to the left (positive
+        # bearing, expert turns left) puts MORE red on screen. The
+        # +-45deg full scale puts the expert's turn/forward decision
+        # boundary (+-7.5deg) a full pooled-patch-mean step away from
+        # center, so coarse towers can resolve it.
+        swing = float(np.clip(bearing / (np.pi / 4), -1.0, 1.0))
+        col = int(round((swing * 0.5 + 0.5) * W))
+        rgb = np.zeros((H, W, 3), np.uint8)
+        rgb[:, :col, 0] = 230
+        rgb[:, :col, 2] = 25
+        rgb[:, col:, 0] = 25
+        rgb[:, col:, 2] = 230
+        # distance on a 3 m full scale: one 25 cm forward step moves
+        # the green level by ~19/255, so the STOP boundary (0.25 m) is
+        # well-separated from the last approach steps
+        rgb[:, :, 1] = np.uint8(
+            np.clip(dist / 3.0, 0.0, 1.0) * 230 + 25)
+        return rgb
+
+    def _finish_obs(self, rgb: np.ndarray, H: int,
+                    W: int) -> Dict[str, np.ndarray]:
+        x, y, th = self._pose
         depth = np.full((H, W, 1), 2.5, np.float32)
         return {
             "rgb": rgb,

@@ -119,6 +119,10 @@ def main(argv=None):
     p.add_argument("--rgb_width", type=int, default=640)
     p.add_argument("--env_backend", choices=["habitat", "fake", "auto"],
                    default="auto")
+    p.add_argument("--observable_goal", action="store_true",
+                   help="fake env only: render goal bearing/distance "
+                        "into the frames (learnable observations for "
+                        "closed-loop train->eval validation)")
     p.add_argument("--habitat_config_path",
                    default="config/vln_r2r.yaml")
     p.add_argument("--split", default="train")
@@ -130,7 +134,8 @@ def main(argv=None):
                         rgb_shape=(args.rgb_height, args.rgb_width, 3))
     else:
         env = FakeNavEnv(make_episodes(args.num_episodes, seed=args.seed),
-                         rgb_shape=(args.rgb_height, args.rgb_width, 3))
+                         rgb_shape=(args.rgb_height, args.rgb_width, 3),
+                         observable_goal=args.observable_goal)
     run(env, args.output_path, args.dataset, args.rank, args.world_size)
     if args.rank == 0:
         merged = merge(args.output_path, args.world_size)

@@ -1,0 +1,78 @@
+"""Observable-goal fake env: the learnable-observation contract.
+
+The closed-loop validation (scripts/closed_loop_validation.py) depends
+on the frame pixels encoding the expert's decision variables; these
+tests pin that encoding. The full train->eval SR run is opt-in
+(CLOSED_LOOP_SR=1) because it trains for ~20 CPU-minutes.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from streamvln_tpu.eval.fake_env import FakeNavEnv, make_episodes
+
+
+def _env_at(heading, goal=(4.0, 0.0)):
+    eps = make_episodes(1, seed=0)
+    eps[0].start_position[:] = (0.0, 0.0)
+    eps[0].start_heading = heading
+    np.asarray(eps[0].goal_position)[:] = goal
+    env = FakeNavEnv(eps, rgb_shape=(48, 64, 3), observable_goal=True)
+    return env.reset()
+
+
+def test_bearing_encoded_as_red_blue_split():
+    # goal dead ahead: half red / half blue
+    obs = _env_at(heading=0.0)
+    red = (obs["rgb"][..., 0] > 128).mean()
+    assert 0.4 < red < 0.6, red
+    # goal to the left (positive bearing): mostly red
+    red_left = (_env_at(heading=-np.pi / 3)["rgb"][..., 0] > 128).mean()
+    assert red_left > 0.9, red_left
+    # goal to the right: mostly blue
+    obs_r = _env_at(heading=np.pi / 3)
+    assert (obs_r["rgb"][..., 2] > 128).mean() > 0.9
+    # monotone in bearing between the extremes
+    reds = [(_env_at(heading=h)["rgb"][..., 0] > 128).mean()
+            for h in (-0.6, -0.2, 0.0, 0.2, 0.6)]
+    assert all(a >= b for a, b in zip(reds, reds[1:])), reds
+
+
+def test_distance_encoded_as_green_level():
+    far = _env_at(0.0, goal=(4.0, 0.0))["rgb"][..., 1].mean()
+    mid = _env_at(0.0, goal=(1.5, 0.0))["rgb"][..., 1].mean()
+    near = _env_at(0.0, goal=(0.3, 0.0))["rgb"][..., 1].mean()
+    assert far > mid > near, (far, mid, near)
+    # one forward step near the goal moves the level visibly (the STOP
+    # decision boundary must be resolvable)
+    step = _env_at(0.0, goal=(0.55, 0.0))["rgb"][..., 1].mean()
+    assert step - near > 10, (step, near)
+
+
+def test_trajectory_generation_observable_goal(tmp_path):
+    from streamvln_tpu import trajectory_generation as tg
+    out = str(tmp_path / "traj")
+    tg.main(["--output_path", out, "--num_episodes", "2",
+             "--env_backend", "fake", "--rgb_height", "48",
+             "--rgb_width", "64", "--seed", "3", "--observable_goal"])
+    assert os.path.exists(os.path.join(out, "annotations.json"))
+
+
+@pytest.mark.skipif(os.environ.get("CLOSED_LOOP_SR") != "1",
+                    reason="~20 CPU-minutes; set CLOSED_LOOP_SR=1 "
+                           "(results recorded in PARITY.md)")
+def test_closed_loop_sr_improvement():
+    """Full protocol: oracle data -> SFT -> streaming-agent eval SR on
+    held-out far-goal episodes beats the untrained model."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "closed_loop_validation",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "closed_loop_validation.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    result = mod.main([])
+    assert result["trained"]["sucs_all"] >= 0.75, result
+    assert result["untrained"]["sucs_all"] <= 0.25, result
+    assert result["trained"]["ones_all"] < 1.0, result
