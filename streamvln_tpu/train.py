@@ -120,6 +120,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "overlaps via 8 DataLoader workers/rank, "
                         "llava_trainer.py:304-356)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--report_to", choices=("none", "wandb"),
+                   default="none",
+                   help="mirror train metrics to wandb (reference: "
+                   "--report_to wandb)")
+    p.add_argument("--run_name", default="streamvln_tpu")
     return p
 
 
@@ -292,6 +297,14 @@ def main(argv: Optional[List[str]] = None):
 
     os.makedirs(args.output_dir, exist_ok=True)
     log_path = os.path.join(args.output_dir, "train_log.jsonl")
+    # wandb mirror of the JSONL log when --report_to wandb (reference:
+    # streamvln_train_slurm.sh:74 `--report_to wandb`); missing/failed
+    # wandb degrades to JSONL-only.
+    from streamvln_tpu.utils.observability import MetricsLogger
+    mlog = MetricsLogger(args.output_dir,
+                         rank=0 if proc0 else 1,
+                         use_wandb=(args.report_to == "wandb"),
+                         run_name=args.run_name)
     evaluator = None
     if args.eval_steps > 0:
         if jax.process_count() > 1:
@@ -341,6 +354,7 @@ def main(argv: Optional[List[str]] = None):
                 print(json.dumps(rec), flush=True)
                 with open(log_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
+                mlog.log(rec, step=step)
             if evaluator is not None and step % args.eval_steps == 0:
                 metrics_ev = evaluator.evaluate(
                     jax.device_get(state.params), step)
@@ -349,6 +363,7 @@ def main(argv: Optional[List[str]] = None):
                     print(json.dumps(rec), flush=True)
                     with open(log_path, "a") as f:
                         f.write(json.dumps(rec) + "\n")
+                    mlog.log(rec, step=step)
             if step % args.save_steps == 0:
                 ckpt.save_checkpoint(
                     os.path.join(args.output_dir, "ckpt"), state, step)

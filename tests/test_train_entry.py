@@ -38,12 +38,17 @@ def test_train_cli_runs_and_checkpoints(traj_root, tmp_path):
         "--dp", "1", "--fsdp", "2",
         "--learning_rate", "1e-3",
         "--export_hf",
+        "--report_to", "wandb",     # degrades to JSONL mirror when
+                                    # wandb is absent
     ])
     assert int(state.step) == 3
     log = [json.loads(l) for l in
            open(os.path.join(out, "train_log.jsonl"))]
     assert len(log) == 3
     assert all(np.isfinite(r["loss"]) for r in log)
+    mirror = [json.loads(l) for l in
+              open(os.path.join(out, "metrics.jsonl"))]
+    assert [r["step"] for r in mirror] == [1, 2, 3]
     # checkpoints at step 2 and 3
     from streamvln_tpu.utils import checkpoint as ckpt
     assert ckpt.latest_step(os.path.join(out, "ckpt")) == 3
