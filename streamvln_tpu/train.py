@@ -369,6 +369,7 @@ def main(argv: Optional[List[str]] = None):
                     os.path.join(args.output_dir, "ckpt"), state, step)
     finally:
         prefetcher.close()
+        mlog.close()
 
     ckpt.save_checkpoint(os.path.join(args.output_dir, "ckpt"), state,
                          step, wait=True)

@@ -95,9 +95,16 @@ class MetricsLogger:
             if use_wandb:
                 try:
                     import wandb
-                    self._wandb = wandb.init(project="streamvln_tpu",
-                                             name=run_name)
-                except Exception:
+                    # Honor WANDB_MODE so unauthenticated hosts/tests can
+                    # run offline/disabled instead of blocking on a
+                    # networked login.
+                    self._wandb = wandb.init(
+                        project="streamvln_tpu", name=run_name,
+                        mode=os.environ.get("WANDB_MODE", "online"))
+                except Exception as e:  # noqa: BLE001 - degrade to JSONL
+                    import warnings
+                    warnings.warn(f"wandb.init failed ({e!r}); "
+                                  "metrics degrade to JSONL only")
                     self._wandb = None
 
     def log(self, metrics: dict, step: Optional[int] = None):
@@ -110,7 +117,15 @@ class MetricsLogger:
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         if self._wandb is not None:
-            self._wandb.log(metrics, step=step)
+            wb = {k: v for k, v in metrics.items() if k != "step"}
+            self._wandb.log(wb, step=step)
+
+    def close(self):
+        if self._wandb is not None:
+            try:
+                self._wandb.finish()
+            finally:
+                self._wandb = None
 
 
 class AverageMeter:

@@ -24,7 +24,10 @@ def traj_root(tmp_path_factory):
     return root
 
 
-def test_train_cli_runs_and_checkpoints(traj_root, tmp_path):
+def test_train_cli_runs_and_checkpoints(traj_root, tmp_path, monkeypatch):
+    # If wandb is ever installed, keep it from attempting a networked
+    # login; MetricsLogger passes WANDB_MODE through to wandb.init.
+    monkeypatch.setenv("WANDB_MODE", "disabled")
     from streamvln_tpu import train as train_entry
     out = str(tmp_path / "run")
     state = train_entry.main([
