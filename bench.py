@@ -321,6 +321,127 @@ def main():
             "env_workers": use_workers,
         }
 
+    def measure_phases():
+        """Per-phase roofline accounting (BASELINE.json's metric name is
+        vision-encode frames/sec/chip; VERDICT r3 #2 asks for MFU and
+        HBM-utilization in the artifact, not just docs/decode_roofline
+        prose). Three probes, each isolated and synced via a host
+        readback (block_until_ready is unreliable through the tunnel):
+
+        - vision: SigLIP 384^2 encode + project + pool, batched ->
+          frames/sec/chip + achieved-vs-peak MXU fraction.
+        - prefill: one full-window LLM bucket through the KV cache ->
+          analytic model FLOPs / wall = MFU.
+        - decode: single-token forwards against a live cache -> bytes
+          actually resident (weights from the real param tree + the
+          padded KV slabs) / wall = HBM-bandwidth utilization.
+        """
+        # v5e peaks (spec sheet; docs/decode_roofline.md uses the same)
+        peak_tflops = 394.0 if cfg.llm.act_int8 else 197.0
+        peak_vision_tflops = 197.0   # vision tower runs bf16 matmuls
+        peak_hbm_gbps = 819.0
+
+        def sync(x):
+            np.asarray(jax.tree_util.tree_leaves(x)[0][..., :1])
+
+        def timeit(fn, *args, n=8, warmup=2):
+            for _ in range(warmup):
+                sync(fn(*args))
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn(*args)
+            sync(out)
+            return (time.perf_counter() - t0) / n
+
+        lc, vc = cfg.llm, cfg.vision
+
+        def llm_flops_per_token(s_kv_avg):
+            D, Dh = lc.hidden_size, lc.head_dim
+            H, Hkv = lc.num_heads, lc.num_kv_heads
+            per_layer = (2 * D * (H * Dh)        # q
+                         + 2 * 2 * D * (Hkv * Dh)  # k, v
+                         + 2 * (H * Dh) * D)     # o
+            mults = 3 if lc.mlp_gated else 2
+            per_layer += mults * 2 * D * lc.intermediate_size
+            attn = 2 * 2 * s_kv_avg * (H * Dh)   # scores + AV
+            return lc.num_layers * (per_layer + attn)
+
+        def vision_flops_per_frame():
+            T = vc.patches_per_side ** 2
+            D, FF = vc.hidden_size, vc.intermediate_size
+            per_tok_layer = 4 * 2 * D * D + 2 * 2 * D * FF + 2 * 2 * T * D
+            patch = 2 * (vc.patch_size ** 2 * 3) * D
+            proj = 2 * 2 * D * lc.hidden_size    # mlp2x projector
+            return T * (vc.num_layers * per_tok_layer + patch + proj)
+
+        # --- vision encode ---------------------------------------------
+        VB = int(os.environ.get("BENCH_VISION_BATCH", "32"))
+        imgs = jnp.asarray(
+            rng.randint(0, 255, (VB, 1, vc.image_size, vc.image_size, 3),
+                        np.uint8).astype(np.float32) / 255.0, dtype)
+        enc = jax.jit(lambda p, im: streamvln.encode_frames(p, cfg, im))
+        tv = timeit(enc, params, imgs)
+        vfps = VB / tv
+        v_mfu = (vision_flops_per_frame() * vfps) / (
+            peak_vision_tflops * 1e12)
+
+        # --- LLM prefill -----------------------------------------------
+        S = int(os.environ.get("BENCH_PREFILL_SEQ", "2304"))
+        embeds = jax.random.normal(
+            jax.random.PRNGKey(1), (1, S, lc.hidden_size), dtype)
+        pos = jnp.arange(S, dtype=jnp.int32)[None]
+        from streamvln_tpu.models import qwen2 as q2
+        cache0 = q2.KVCache.create(
+            lc, 1, 4096, dtype,
+            quantized=os.environ.get("BENCH_KV_INT8") == "1")
+
+        @jax.jit
+        def prefill(p, e, c):
+            return q2.forward(
+                p["llm"], lc, e, pos, cache=c,
+                logits_positions=jnp.asarray([S - 1], jnp.int32))
+
+        tp = timeit(prefill, params, embeds, cache0, n=4)
+        pf_tflops = llm_flops_per_token((S + 1) / 2) * S / tp / 1e12
+        pf_mfu = pf_tflops / peak_tflops
+
+        # --- decode ----------------------------------------------------
+        _, cache_live = jax.block_until_ready(
+            prefill(params, embeds, cache0))
+        tok1 = jax.random.normal(jax.random.PRNGKey(2),
+                                 (1, 1, lc.hidden_size), dtype)
+
+        @jax.jit
+        def decode_step(p, e, c):
+            logits, _ = q2.forward(
+                p["llm"], lc, e,
+                c.length[:, None].astype(jnp.int32), cache=c)
+            return logits
+
+        td = timeit(decode_step, params, tok1, cache_live, n=16,
+                    warmup=3)
+        llm_bytes = sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for a in jax.tree_util.tree_leaves(params["llm"]))
+        kv_bytes = sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for a in (cache_live.k, cache_live.v))
+        dec_gbps = (llm_bytes + kv_bytes) / td / 1e9
+        return {
+            "vision_fps": round(vfps, 1),
+            "vision_batch": VB,
+            "vision_ms": round(tv * 1e3, 2),
+            "vision_mfu_pct": round(100 * v_mfu, 1),
+            "prefill_seq": S,
+            "prefill_ms": round(tp * 1e3, 2),
+            "prefill_tflops": round(pf_tflops, 1),
+            "mfu_pct": round(100 * pf_mfu, 1),
+            "decode_ms_per_fwd": round(td * 1e3, 2),
+            "decode_resident_gb": round((llm_bytes + kv_bytes) / 1e9, 2),
+            "decode_gbps": round(dec_gbps, 1),
+            "hbm_util_pct": round(100 * dec_gbps / peak_hbm_gbps, 1),
+        }
+
     runs = [measure(n) for n in env_counts]
     head = runs[0]
     result = {
@@ -338,6 +459,14 @@ def main():
     }
     if len(runs) > 1:
         result["batched"] = runs[1:]
+    if os.environ.get("BENCH_PHASES",
+                      "1" if backend == "tpu" else "0") == "1":
+        phases = measure_phases()
+        result["phases"] = phases
+        # surfaced at top level per the driver's metric schema
+        result["vision_fps"] = phases["vision_fps"]
+        result["mfu"] = phases["mfu_pct"] / 100.0
+        result["hbm_util"] = phases["hbm_util_pct"] / 100.0
     eval_loop = os.environ.get("BENCH_EVAL_LOOP",
                                "1" if backend == "tpu" else "0")
     if eval_loop == "1":

@@ -82,6 +82,15 @@ class VLNEvaluator:
         step_id = 0
         nf = agent.cfg.num_frames
         vis_frames: List = []
+        # agent world positions for the occupancy-grid top-down map
+        # (reference: TopDownMap measure accumulates them per step)
+        sim = getattr(env, "sim", None)
+        track_sim = (self.save_video and sim is not None
+                     and hasattr(sim, "get_agent_state")
+                     and hasattr(sim, "pathfinder"))
+        pos3d: List = []
+        if track_sim:
+            pos3d.append(np.asarray(sim.get_agent_state().position))
         while not env.episode_over:
             if self.save_video:
                 from streamvln_tpu.utils.visualize import (
@@ -101,6 +110,8 @@ class VLNEvaluator:
             action = action_queue.pop(0)
             with self.latency.measure("sim_step"):
                 observations = env.step(action)
+            if track_sim:
+                pos3d.append(np.asarray(sim.get_agent_state().position))
             step_id += 1
             # window reset AFTER env.step (reference:
             # streamvln_eval.py:346-350); the agent's internal non-model
@@ -123,11 +134,19 @@ class VLNEvaluator:
             images_to_video(vis_frames, vis_dir,
                             f"{scene_id}_{episode.episode_id}")
             tracker = getattr(env, "_tracker", None)
-            if tracker is not None and tracker.positions:
-                from PIL import Image
+            topdown = None
+            if track_sim and pos3d:
+                # habitat present: real navmesh occupancy-grid map
+                # (reference habitat_extensions/maps.py:49-83)
+                from streamvln_tpu.habitat_extensions import maps as hmaps
+                topdown = hmaps.render_episode_map(sim, episode, pos3d)
+            elif tracker is not None and tracker.positions:
+                # no simulator pathfinder: abstract trajectory plot
                 topdown = draw_top_down_map(
                     tracker.positions, tracker.goal,
                     getattr(episode, "reference_path", None))
+            if topdown is not None:
+                from PIL import Image
                 Image.fromarray(topdown).save(os.path.join(
                     vis_dir,
                     f"{scene_id}_{episode.episode_id}_map.png"))

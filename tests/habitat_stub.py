@@ -57,14 +57,34 @@ class AgentState:
         self.position = np.asarray(position, np.float64)
 
 
+class StubPathfinder:
+    """navmesh bounds for the top-down map adapter."""
+
+    def __init__(self, lower=(-1.0, 0.0, -1.0), upper=(9.0, 3.0, 9.0)):
+        self._lower = np.asarray(lower, np.float64)
+        self._upper = np.asarray(upper, np.float64)
+
+    def get_bounds(self):
+        return self._lower, self._upper
+
+
+class _StubAgent:
+    def __init__(self, position):
+        self.state = AgentState(position)
+
+
 class StubSim:
     """Scripted agent positions + geodesic = euclidean distances."""
 
     def __init__(self, start=(0.0, 0.0, 0.0)):
         self.position = np.asarray(start, np.float64)
+        self.pathfinder = StubPathfinder()
 
     def get_agent_state(self):
         return AgentState(self.position)
+
+    def get_agent(self, idx):
+        return _StubAgent(self.position)
 
 
 class StubInstruction:
@@ -177,10 +197,26 @@ def install():
     nav = types.ModuleType("habitat.tasks.nav")
     spf = types.ModuleType("habitat.tasks.nav.shortest_path_follower")
     spf.ShortestPathFollower = StubShortestPathFollower
+    utils_mod = types.ModuleType("habitat.utils")
+    vis_mod = types.ModuleType("habitat.utils.visualizations")
+    maps_mod = types.ModuleType("habitat.utils.visualizations.maps")
+
+    def _get_topdown_map(pathfinder, height, map_resolution,
+                         draw_border, meters_per_pixel):
+        # synthetic navmesh: valid interior, invalid 4-px frame
+        grid = np.ones((map_resolution, map_resolution), np.uint8)
+        grid[:4], grid[-4:] = 0, 0
+        grid[:, :4], grid[:, -4:] = 0, 0
+        return grid
+
+    maps_mod.get_topdown_map = _get_topdown_map
 
     habitat.core = core
     habitat.config = config_mod
     habitat.tasks = tasks
+    habitat.utils = utils_mod
+    utils_mod.visualizations = vis_mod
+    vis_mod.maps = maps_mod
     habitat.Env = StubEnv
     habitat.get_config = _get_config
     core.embodied_task = embodied
@@ -197,6 +233,9 @@ def install():
         "habitat.tasks": tasks,
         "habitat.tasks.nav": nav,
         "habitat.tasks.nav.shortest_path_follower": spf,
+        "habitat.utils": utils_mod,
+        "habitat.utils.visualizations": vis_mod,
+        "habitat.utils.visualizations.maps": maps_mod,
     }
     sys.modules.update(mods)
     return mods, registry
