@@ -82,6 +82,7 @@ def test_token_count_and_layout_expansion():
         layout.vision_index[layout.is_vision], np.arange(n))
 
 
+@pytest.mark.slow
 def test_generate_anyres_end_to_end():
     cfg = tiny_streamvln()
     params = streamvln.init(jax.random.PRNGKey(0), cfg)

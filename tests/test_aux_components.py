@@ -221,6 +221,7 @@ def test_length_grouped_sampler_reduces_spread():
 
 # -- offline eval ------------------------------------------------------------
 
+@pytest.mark.slow
 def test_offline_eval(tmp_path):
     from PIL import Image
     from streamvln_tpu.agent import VLNAgent

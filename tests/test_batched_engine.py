@@ -18,6 +18,7 @@ def _turn(tok, text, add_system):
                                            np.int32)])
 
 
+@pytest.mark.slow
 def test_batched_matches_sequential():
     cfg = tiny_streamvln()
     params = streamvln.init(jax.random.PRNGKey(0), cfg)

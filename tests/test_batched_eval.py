@@ -1,4 +1,5 @@
 """Batched multi-env evaluator over parallel fake envs."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,7 @@ from streamvln_tpu.models import streamvln
 from streamvln_tpu.streaming.engine import StreamingEngine
 
 
+@pytest.mark.slow
 def test_batched_eval_runs_all_episodes(tmp_path):
     cfg = tiny_streamvln()
     params = streamvln.init(jax.random.PRNGKey(0), cfg)
@@ -67,6 +69,7 @@ def test_remote_env_proxy_matches_local():
         remote.close()
 
 
+@pytest.mark.slow
 def test_batched_eval_with_multiprocess_env_workers(tmp_path):
     from streamvln_tpu.eval.env_workers import remote_env_factory
     cfg = tiny_streamvln()
@@ -92,6 +95,7 @@ def test_batched_eval_with_multiprocess_env_workers(tmp_path):
     assert ids == sorted(e.episode_id for e in episodes)
 
 
+@pytest.mark.slow
 def test_eval_cli_batched_env_workers_default(tmp_path):
     """eval_cli --n_envs > 1 defaults to the async multi-process env
     worker topology (batched_evaluator + env_workers), the deployed
@@ -108,6 +112,7 @@ def test_eval_cli_batched_env_workers_default(tmp_path):
     assert len(lines) == 4
 
 
+@pytest.mark.slow
 def test_eval_cli_bits4_quantized_inference(tmp_path):
     """--bits 4 quantizes the loaded model at build time (reference
     model-builder load_4bit) and the run completes on the fake env;

@@ -27,6 +27,7 @@ def _write_task(tmp_path, name, entries):
             f.write(json.dumps(e) + "\n")
 
 
+@pytest.mark.slow
 def test_subprocess_benchmark_roundtrip(tmp_path):
     from PIL import Image
     img_dir = tmp_path / "media"

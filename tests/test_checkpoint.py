@@ -11,6 +11,7 @@ from streamvln_tpu.parallel import train as train_lib
 from streamvln_tpu.utils import checkpoint as ckpt
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip_sharded(tmp_path):
     cfg = tiny_streamvln()
     tcfg = train_lib.TrainConfig(total_steps=10)

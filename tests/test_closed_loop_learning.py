@@ -35,6 +35,7 @@ def traj_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_closed_loop_learning(traj_root, tmp_path):
     from streamvln_tpu import train as train_entry
 

@@ -16,6 +16,7 @@ def torch():
     return torch
 
 
+@pytest.mark.slow
 def test_qwen2_logits_match_transformers(torch):
     from transformers import Qwen2Config as HFQwen2Config
     from transformers import Qwen2ForCausalLM

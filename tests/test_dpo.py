@@ -27,6 +27,7 @@ def _sample(tok, images_shape, chosen="↑↑", rejected="←←"):
     return out
 
 
+@pytest.mark.slow
 def test_dpo_step_prefers_chosen():
     cfg = tiny_streamvln()
     tok = ByteTokenizer()

@@ -2,6 +2,7 @@
 the 8-device multi-chip dry run (reference trains on 4x8 GPUs,
 scripts/streamvln_train_slurm.sh:2-4,32-33 — the dryrun is our
 equivalent artifact)."""
+import pytest
 import sys
 from pathlib import Path
 
@@ -18,6 +19,7 @@ def test_entry_compiles():
     assert float(loss) > 0 and bool(jax.numpy.isfinite(loss))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     # conftest gives this process 8 virtual CPU devices, so this takes
     # the direct (no-subprocess) path; the subprocess fallback covers

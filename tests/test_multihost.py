@@ -6,6 +6,7 @@ the process level: 2 processes x 4 virtual CPU devices rendezvous over
 localhost, build the global dp2/fsdp4 mesh, and take identical FSDP
 train steps. Asserts both processes see the same replicated loss.
 """
+import pytest
 import os
 import re
 import socket
@@ -21,6 +22,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_fsdp_train_step():
     port = _free_port()
     env = dict(os.environ)

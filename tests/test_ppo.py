@@ -82,6 +82,7 @@ def test_reward_model_learns_preference(setup):
     assert float(m["reward_accuracy"]) == 1.0
 
 
+@pytest.mark.slow
 def test_ppo_step_moves_policy_toward_advantage(setup):
     cfg, make_params, mesh = setup
     tcfg = TrainConfig(learning_rate=5e-3, total_steps=20, remat=False,

@@ -1,4 +1,5 @@
 """Int8 weight-only quantization: error bounds + forward fidelity."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -210,6 +211,7 @@ def test_int4_quantize_roundtrip_and_shapes():
                   <= step / 2 + 1e-7)
 
 
+@pytest.mark.slow
 def test_int4_forward_close_to_fp():
     from streamvln_tpu.configs import tiny_llm
     cfg = tiny_llm()
@@ -253,6 +255,7 @@ def test_int4_engine_decode_runs():
     assert 1 <= len(toks) <= 4
 
 
+@pytest.mark.slow
 def test_init_quantized_llm_matches_eager_reference():
     """The jitted (fused) embed/lm_head init must equal the eager math
     it replaced — the fusion exists purely to cap HBM transients (the

@@ -127,6 +127,7 @@ def test_reset_rows_reuses_buffer():
     np.testing.assert_array_equal(np.asarray(cache.length), [3, 0, 7, 0])
 
 
+@pytest.mark.slow
 def test_remat_chunk_and_mlp_chunk_exactness():
     """Nested (unrolled) layer-chunk remat and the token-chunked MLP are
     pure memory transforms: loss is bit-exact and grads match to fp

@@ -47,6 +47,7 @@ def test_retry_exhaustion():
         RobustDataset(AlwaysBad())[0]
 
 
+@pytest.mark.slow
 def test_grad_accum_updates_only_on_boundary():
     from streamvln_tpu.parallel import mesh as mesh_lib
     from streamvln_tpu.parallel import train as train_lib

@@ -86,6 +86,7 @@ def _turn(tok, text, add_system):
                                            np.int32)])
 
 
+@pytest.mark.slow
 def test_multiturn_parity_no_memory(setup):
     """3 dialogue turns, one frame each: engine == naive recompute."""
     cfg, params, tok = setup
@@ -104,6 +105,7 @@ def test_multiturn_parity_no_memory(setup):
         assert got == want, f"call {call}: {got} != {want}"
 
 
+@pytest.mark.slow
 def test_window_boundary_memory_parity(setup):
     """Boundary call with <memory>: gathered cached features must equal
     fresh re-encode (the naive path re-encodes history frames)."""
@@ -208,6 +210,7 @@ def test_backfill_fused_pre_smoke(setup):
 
 
 @pytest.mark.parametrize("emit", [3, 5])
+@pytest.mark.slow
 def test_misaligned_window_backfill_parity(setup, emit):
     """The LLM emitting != num_future_steps actions desyncs model calls
     from window boundaries: the first post-reset call then lands at a
@@ -380,6 +383,7 @@ def test_spec_lookup_decode_exactness(setup):
     assert greedy.envs[0].kv_length == spec.envs[0].kv_length
 
 
+@pytest.mark.slow
 def test_model_call_on_boundary_resets_window(setup):
     """A model call whose step lands exactly on the num_frames boundary
     must perform window-reset bookkeeping (previously only non-model

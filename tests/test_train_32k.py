@@ -8,6 +8,7 @@ Single device on purpose: the 8-virtual-CPU-device mesh aborts on XLA's
 40 s collective-rendezvous timeout under 32k-sized per-device work
 (threads share host cores); FSDP-mesh coverage of the same code path
 runs at shorter seq in test_parallel."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +20,7 @@ from streamvln_tpu.parallel import train as train_lib
 from streamvln_tpu.utils.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
 
 
+@pytest.mark.slow
 def test_train_step_32k_context():
     cfg = configs.StreamVLNConfig(
         vision=configs.tiny_vision(),

@@ -97,6 +97,7 @@ def test_train_cli_mid_training_eval(traj_root, tmp_path):
     assert "eval/sucs_all" in keys and "eval/spls_all" in keys
 
 
+@pytest.mark.slow
 def test_train_cli_lora_int8(traj_root, tmp_path):
     from streamvln_tpu import train as train_entry
     out = str(tmp_path / "run4")
