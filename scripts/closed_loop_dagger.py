@@ -5,8 +5,10 @@ the policy (reference: streamvln/streamvln_dagger.py:154-443). This
 script proves our `dagger.py` does exactly that, end to end, on the
 observable-goal fake env:
 
-1. Train a deliberately WEAK model: SFT on a SMALL oracle set
-   (--weak_episodes, default 6) — too few trajectories to generalize.
+1. Train a deliberately WEAK model: SFT on a TINY oracle set
+   (--weak_episodes, default 2) — one or two trajectories only cover a
+   narrow slice of the bearing-pixel space, so the policy wanders on
+   held-out headings (measured: SR 0).
 2. Evaluate it on held-out far-goal episodes -> weak SR/NE.
 3. Run the REAL DAgger machinery (beta = p^iter segment mixing, expert
    takeover on intolerable error, STOP replacement, save gates) with
@@ -15,8 +17,21 @@ observable-goal fake env:
 4. Retrain FROM SCRATCH for the same step budget on
    oracle-small + DAgger-collected.
 5. Re-evaluate: SR must improve / NE must drop vs the weak baseline,
-   at an equal training budget — the improvement is attributable to
-   the DAgger data, not extra steps.
+   at an equal training budget (same --steps) — the improvement is
+   attributable to the DAgger data, not extra steps.
+
+Note the save gate is SUPPOSED to reject near-optimal rollouts
+(pl < 0.93 requires the taken path to be >=7.5% longer than optimal —
+reference: streamvln_dagger.py:52-55,405): DAgger data must come from
+states an imperfect policy visits; oracle data already covers the
+optimal path. A fully-trained model therefore yields zero saves by
+design (measured: SR-1.0 model -> 0/40 saved). The weak learner's own
+wandering provides the path inflation; collection episodes stay
+STRAIGHT so the observation (goal-relative bearing pixels) remains
+consistent with the expert's corrections (measured: collecting on
+bent reference paths poisons the pixel grounding — expert actions
+point away from the rendered goal bearing — and made NE WORSE,
+0.51 -> 1.19 m).
 
 Also reports the save-gate statistics (attempted vs saved): gates
 rejecting imperfect episodes is part of the reference contract
@@ -62,6 +77,41 @@ def train(traj_dirs, out_dir: str, steps: int, lr: float,
     return jax.device_get(state.params)
 
 
+def bent_episodes(n: int, seed: int):
+    """Collection episodes with a DOG-LEG reference path (midpoint
+    offset ~1.5 m off the straight line) — R2R-like curvy geometry.
+
+    Kept for the record: bent paths make the save gate pass trivially
+    (pl = straight_dist / taken < 0.93 by construction) but POISON this
+    env's pixel grounding — the frames render goal-relative bearing
+    while the expert walks toward the off-line midpoint, so saved
+    actions contradict the observations (measured: NE 0.51 -> 1.19 m
+    after retraining on them). The default protocol collects on
+    straight paths and relies on the weak learner's own wandering for
+    the path inflation the gate requires."""
+    from streamvln_tpu.eval.fake_env import FakeEpisode
+    rng = np.random.RandomState(seed)
+    eps = []
+    for i in range(n):
+        start = rng.uniform(-3, 3, 2)
+        ang = rng.uniform(-np.pi, np.pi)
+        dist = rng.uniform(3.5, 5.0)
+        goal = start + dist * np.array([np.cos(ang), np.sin(ang)])
+        perp = np.array([-np.sin(ang), np.cos(ang)])
+        mid = (start + goal) / 2 + perp * rng.uniform(1.0, 2.0) \
+            * rng.choice([-1.0, 1.0])
+        ref = np.concatenate([np.linspace(start, mid, 3),
+                              np.linspace(mid, goal, 4)[1:]])
+        eps.append(FakeEpisode(
+            episode_id=str(i), scene_id=f"scenes/s{i % 2}/s{i % 2}.glb",
+            instruction_text=INSTRUCTION,
+            start_position=start,
+            start_heading=float(rng.uniform(-np.pi, np.pi)),
+            goal_position=goal,
+            reference_path=ref))
+    return eps
+
+
 def collect_dagger(params, out_dir: str, n_episodes: int, seed: int,
                    data_iteration: int, max_steps: int) -> dict:
     """Real dagger.py collection with the (weak) learner driving."""
@@ -83,8 +133,9 @@ def collect_dagger(params, out_dir: str, n_episodes: int, seed: int,
         cache_capacity=4096, feat_slots=80,
         buckets=(256, 512, 768, 1024))
     agent = VLNAgent(engine, tok)
-    # collection episodes: same far-goal distribution as eval but a
-    # disjoint seed; uniform instruction keeps the policy pixel-driven
+    # collection episodes: STRAIGHT far-goal distribution (pixel/
+    # expert consistency — see module docstring), disjoint seed from
+    # eval; uniform instruction keeps the policy pixel-driven
     episodes = far_episodes(n_episodes, seed=seed)
     env = FakeNavEnv(episodes, max_episode_steps=max_steps,
                      rgb_shape=(48, 64, 3), observable_goal=True)
@@ -99,9 +150,9 @@ def collect_dagger(params, out_dir: str, n_episodes: int, seed: int,
 
 def main(argv=None) -> dict:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--weak_episodes", type=int, default=6)
+    p.add_argument("--weak_episodes", type=int, default=2)
     p.add_argument("--dagger_episodes", type=int, default=40)
-    p.add_argument("--dagger_data_it", type=int, default=1)
+    p.add_argument("--dagger_data_it", type=int, default=2)
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--learning_rate", type=float, default=2e-3)
     p.add_argument("--batch_size", type=int, default=4)
@@ -112,7 +163,11 @@ def main(argv=None) -> dict:
     args = p.parse_args(argv)
 
     import jax
-    if jax.default_backend() != "cpu" and jax.process_count() == 1:
+    if os.environ.get("CL_BACKEND", "cpu") == "cpu":
+        # tiny config: CPU is plenty, and this must not steal the TPU
+        # from a concurrent training/bench job. Must run BEFORE any
+        # backend touch (jax.default_backend() would initialize axon
+        # and the update would no longer take effect).
         jax.config.update("jax_platforms", "cpu")
 
     root = args.workdir or tempfile.mkdtemp(prefix="closed_loop_dagger_")

@@ -48,9 +48,7 @@ def evaluate_mode(params, root: str, tag: str, n_eval: int,
     tok = ByteTokenizer()
     params = jax.device_get(params)
     if bits in (4, 8):
-        params = dict(params)
-        params["llm"] = quant.quantize_llm(dict(params["llm"]),
-                                           bits=bits)
+        params = quant.quantize_llm(params, bits=bits)
     engine = StreamingEngine(
         params, cfg, stop_ids=(tok.im_end_id,),
         compute_dtype=jnp.float32, max_new_tokens=10,
@@ -80,7 +78,11 @@ def main(argv=None) -> dict:
     args = p.parse_args(argv)
 
     import jax
-    if jax.default_backend() != "cpu" and jax.process_count() == 1:
+    if os.environ.get("CL_BACKEND", "cpu") == "cpu":
+        # tiny config: CPU is plenty, and this must not steal the TPU
+        # from a concurrent training/bench job. Must run BEFORE any
+        # backend touch (jax.default_backend() would initialize axon
+        # and the update would no longer take effect).
         jax.config.update("jax_platforms", "cpu")
 
     root = args.workdir or tempfile.mkdtemp(prefix="closed_loop_quant_")

@@ -127,9 +127,11 @@ def main(argv=None) -> dict:
     args = p.parse_args(argv)
 
     import jax
-    if jax.default_backend() != "cpu" and jax.process_count() == 1:
+    if os.environ.get("CL_BACKEND", "cpu") == "cpu":
         # tiny config: CPU is plenty, and this must not steal the TPU
-        # from a concurrent training/bench job
+        # from a concurrent training/bench job. Must run BEFORE any
+        # backend touch (jax.default_backend() would initialize axon
+        # and the update would no longer take effect).
         jax.config.update("jax_platforms", "cpu")
 
     root = args.workdir or tempfile.mkdtemp(prefix="closed_loop_")

@@ -1,0 +1,173 @@
+"""Input-pipeline overlap measurement (VERDICT r3 #3).
+
+Measures, on the real chip with real JPEG trajectories through the C++
+loader (native/dataloader.cpp), the four numbers that fully describe
+the overlapped input pipeline (data/prefetch.py; the reference's
+analogue is HF Trainer's 8 DataLoader workers,
+llava/train/llava_trainer.py:304-356):
+
+  host_ms    — load + decode + resize + collate + device_put, alone
+  compute_ms — the train step on an already-uploaded batch, alone
+  depth0_ms  — full loop, --prefetch_depth 0 (synchronous baseline)
+  depthN_ms  — full loop, --prefetch_depth N (overlapped)
+
+Expected: depthN ≈ max(host, compute) and depth0 ≈ host + compute.
+When host < compute, depthN ≈ compute (step time == pure-compute
+time, the round-2 'done' criterion). On a 1-core measurement host
+(this harness) the host column is pessimal — a TPU-VM host decodes
+the batch across ~100 cores.
+
+Usage: python scripts/prefetch_bench.py --video_folders .bench_data/traj480 \
+           --model_size qwen2-1.5b --batch_size 2 --depth 2
+Prints one JSON line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--video_folders", required=True)
+    p.add_argument("--model_size", default="qwen2-1.5b")
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--num_frames", type=int, default=8)
+    p.add_argument("--num_history", type=int, default=2)
+    p.add_argument("--num_future_steps", type=int, default=2)
+    p.add_argument("--depth", type=int, default=2)
+    p.add_argument("--steps", type=int, default=12)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--freeze_vision", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(_HERE), ".jax_cache"))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from streamvln_tpu import configs
+    from streamvln_tpu.data.collate import collate
+    from streamvln_tpu.data.prefetch import BatchPrefetcher
+    from streamvln_tpu.data.tokenizer import ByteTokenizer
+    from streamvln_tpu.data.vln_dataset import VLNActionDataset
+    from streamvln_tpu.models import streamvln
+    from streamvln_tpu.parallel import mesh as mesh_lib
+    from streamvln_tpu.parallel import train as train_lib
+
+    if args.model_size == "tiny":
+        cfg = configs.tiny_streamvln()
+    else:
+        cfg = configs.StreamVLNConfig(
+            vision=configs.siglip_so400m(),
+            llm=configs.llm_config(args.model_size))
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, num_frames=args.num_frames, num_history=args.num_history,
+        num_future_steps=args.num_future_steps)
+
+    tok = ByteTokenizer()
+    dataset = VLNActionDataset(tok, cfg,
+                               args.video_folders.split(","))
+    mesh = mesh_lib.make_mesh(dp=1, fsdp=len(jax.devices()), tp=1)
+    dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+             else jnp.float32)
+    tcfg = train_lib.TrainConfig(
+        learning_rate=1e-4, total_steps=1000,
+        freeze_vision=args.freeze_vision, loss_chunk_size=512)
+    params = streamvln.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    params = mesh_lib.shard_params(params, mesh)
+    state = train_lib.create_train_state(params, tcfg)
+    step_fn = train_lib.make_train_step(cfg, tcfg, mesh)
+    bspec = NamedSharding(mesh, mesh_lib.batch_spec())
+
+    n = len(dataset)
+    rng = np.random.RandomState(0)
+
+    def index_batches():
+        while True:
+            yield rng.randint(0, n, args.batch_size).tolist()
+
+    def make_batch(batch_idx):
+        samples = [dataset[i] for i in batch_idx]
+        batch = collate(samples, cfg, max_length=4096)
+        batch = {k: v for k, v in batch.items()
+                 if k not in ("time_ids", "task_type")}
+        return {k: jax.device_put(v, bspec) for k, v in batch.items()}
+
+    def sync(x):
+        jax.block_until_ready(x)
+        # tunnel-safe true sync: host readback
+        np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+
+    # --- host-only -----------------------------------------------------
+    idxs = [rng.randint(0, n, args.batch_size).tolist()
+            for _ in range(args.steps + args.warmup)]
+    cached = make_batch(idxs[0])
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        make_batch(idxs[i % len(idxs)])
+    host_ms = (time.perf_counter() - t0) / args.steps * 1e3
+
+    # --- compute-only (repeated step on the cached batch) --------------
+    # (only the state is donated; the batch is reusable)
+    for _ in range(args.warmup):
+        state, m = step_fn(state, cached)
+        sync(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, m = step_fn(state, cached)
+    sync(m["loss"])
+    compute_ms = (time.perf_counter() - t0) / args.steps * 1e3
+
+    # --- full loop at a given depth -------------------------------------
+    # step_fn DONATES the state: every phase must consume the current
+    # state and hand the returned one forward (reusing a donated tree
+    # surfaces as an opaque tunnel InvalidArgument)
+    def loop(depth, st):
+        pf = BatchPrefetcher(index_batches(), make_batch, depth=depth)
+        try:
+            for _ in range(args.warmup):
+                st, m = step_fn(st, pf.get())
+            sync(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                st, m = step_fn(st, pf.get())
+            sync(m["loss"])
+            return (time.perf_counter() - t0) / args.steps * 1e3, st
+        finally:
+            pf.close()
+
+    depth0_ms, state = loop(0, state)
+    depthN_ms, state = loop(args.depth, state)
+
+    print(json.dumps({
+        "model": args.model_size, "batch": args.batch_size,
+        "frames_per_sample": int(cached["images"].shape[1]),
+        "image_size": cfg.vision.image_size,
+        "host_ms": round(host_ms, 1),
+        "compute_ms": round(compute_ms, 1),
+        "depth0_ms": round(depth0_ms, 1),
+        f"depth{args.depth}_ms": round(depthN_ms, 1),
+        "host_cores": os.cpu_count(),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

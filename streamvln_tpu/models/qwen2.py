@@ -122,10 +122,15 @@ class KVCache:
 
     Quantized form (create(..., quantized=True)): k/v hold int8 and
     k_scale/v_scale hold per-(layer, row, head, position) f32 scales
-    [L, B, Hkv, Smax, 1] (scale = amax/127 over the head dim, applied
-    at read). Halves the resident cache HBM — the capacity lever for
-    long contexts and the 14B-class config at batch (the 48-layer KV
-    at 4096 x 8 envs is ~6.4 GB in bf16). ~1.6% scale overhead;
+    [L, B, Hkv, Smax] (scale = amax/127 over the head dim, applied at
+    read). The scales carry NO trailing singleton dim: a last dim of 1
+    would be lane-padded to 128 by the TPU tiler — 128x physical
+    inflation (measured at 14B/SMAX 4096: ~0.8 GB per scale buffer and
+    a 28% decode regression from streaming the padding).
+
+    Quantization halves the resident cache HBM — the capacity lever
+    for long contexts and the 14B-class config at batch (the 48-layer
+    KV at 4096 x 8 envs is ~6.4 GB in bf16). ~1.6% scale overhead;
     appends quantize post-RoPE.
     """
     k: jax.Array
@@ -141,7 +146,7 @@ class KVCache:
                  cfg.head_dim)
         length = jnp.zeros((batch,), jnp.int32)
         if quantized:
-            sshape = shape[:-1] + (1,)
+            sshape = shape[:-1]
             return cls(k=jnp.zeros(shape, jnp.int8),
                        v=jnp.zeros(shape, jnp.int8),
                        length=length,
@@ -212,22 +217,44 @@ def _append_stack(buf: jax.Array, new: jax.Array, layer: jax.Array,
     return buf
 
 
+def _append_stack_scale(buf: jax.Array, new: jax.Array,
+                        layer: jax.Array, offsets: jax.Array,
+                        write_mask: Optional[jax.Array] = None
+                        ) -> jax.Array:
+    """_append_stack for the 4D scale buffers.
+
+    buf: [L, B, Hkv, Smax]; new: [B, S, Hkv]; layer: scalar; offsets
+    [B]. Same in-place DUS-chain contract as _append_stack."""
+    new_t = new.transpose(0, 2, 1)            # [B, Hkv, S]
+    zero = jnp.zeros((), jnp.int32)
+    for b in range(new.shape[0]):
+        upd = new_t[b][None, None]
+        if write_mask is not None:
+            cur = jax.lax.dynamic_slice(
+                buf, (layer, jnp.int32(b), zero, offsets[b]),
+                upd.shape)
+            upd = jnp.where(write_mask[b], upd, cur)
+        buf = jax.lax.dynamic_update_slice(
+            buf, upd, (layer, jnp.int32(b), zero, offsets[b]))
+    return buf
+
+
 def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """[B, S, H, D] -> (int8 values, f32 scales [B, S, H, 1]);
+    """[B, S, H, D] -> (int8 values, f32 scales [B, S, H]);
     symmetric per-(token, head), scale = amax/127, post-RoPE."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
                    keepdims=True)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
                  -127, 127).astype(jnp.int8)
-    return q, scale
+    return q, scale[..., 0]
 
 
 def _dequant_kv(buf: jax.Array, scale: jax.Array, dtype) -> jax.Array:
-    """[B, H, Smax, D] int8 * [B, H, Smax, 1] f32 -> dtype. The convert
+    """[B, H, Smax, D] int8 * [B, H, Smax] f32 -> dtype. The convert
     + broadcast-multiply sit in the attention matmul's operand stream;
     the resident cache stays at 1 B/element."""
-    return (buf.astype(jnp.float32) * scale).astype(dtype)
+    return (buf.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -296,7 +323,7 @@ def init(rng: jax.Array, cfg: Qwen2Config,
 # ---------------------------------------------------------------------------
 
 def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos,
-            kv_major: bool = False, bias=None):
+            kv_major: bool = False, bias=None, kv_scales=None):
     """Attention with visibility rule `k_pos <= q_pos` (invalid keys carry
     a huge k_pos). Dispatch:
     - S==1 on a KV-major cache + TPU: Pallas ring-buffer decode kernel
@@ -308,6 +335,13 @@ def _attend(cfg: Qwen2Config, attn_impl: str, q, k, v, q_pos, k_pos,
         cfg.head_dim % 128 == 0 and (attn_impl == "flash" or on_tpu)
 
     if kv_major:
+        if kv_scales is not None:
+            # int8 cache fed straight to the MXU; scales fold into the
+            # logits/probabilities (see dense_attention_kvmajor)
+            mask = k_pos[:, None, :] <= q_pos[:, :, None]
+            return dense_attention_kvmajor(
+                q, k, v, mask, logits_soft_cap=cfg.attn_logits_soft_cap,
+                bias=bias, k_scale=kv_scales[0], v_scale=kv_scales[1])
         # the Pallas decode kernel only wins when its per-layer launch
         # cost is amortized (very long caches / many KV heads); measured
         # on v5e-1 @ 7B it LOSES ~9 ms/token to XLA's fused dense path,
@@ -594,6 +628,7 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
             k_pos[:, None, None, :].astype(jnp.float32)
         attn_bias = -slopes[None, :, None, None] * dist
 
+    kv_scales = None
     if cache_kv is not None:
         if len(cache_kv) == 5:
             # stacked-carry path: whole [L, ...] cache (+ optional int8
@@ -609,21 +644,27 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
                 vq, vsc = _quantize_kv(v)
                 kc = _append_stack(kc, kq, layer_idx, cache_offsets, wm)
                 vc = _append_stack(vc, vq, layer_idx, cache_offsets, wm)
-                ks = _append_stack(ks, ksc, layer_idx, cache_offsets,
-                                   wm)
-                vs = _append_stack(vs, vsc, layer_idx, cache_offsets,
-                                   wm)
+                ks = _append_stack_scale(ks, ksc, layer_idx,
+                                         cache_offsets, wm)
+                vs = _append_stack_scale(vs, vsc, layer_idx,
+                                         cache_offsets, wm)
                 cdt = x.dtype
-                ck = _dequant_kv(
-                    jax.lax.dynamic_index_in_dim(kc, layer_idx, 0,
-                                                 keepdims=False),
-                    jax.lax.dynamic_index_in_dim(ks, layer_idx, 0,
-                                                 keepdims=False), cdt)
-                cv = _dequant_kv(
-                    jax.lax.dynamic_index_in_dim(vc, layer_idx, 0,
-                                                 keepdims=False),
-                    jax.lax.dynamic_index_in_dim(vs, layer_idx, 0,
-                                                 keepdims=False), cdt)
+                ksl = jax.lax.dynamic_index_in_dim(ks, layer_idx, 0,
+                                                   keepdims=False)
+                vsl = jax.lax.dynamic_index_in_dim(vs, layer_idx, 0,
+                                                   keepdims=False)
+                ck = jax.lax.dynamic_index_in_dim(kc, layer_idx, 0,
+                                                  keepdims=False)
+                cv = jax.lax.dynamic_index_in_dim(vc, layer_idx, 0,
+                                                  keepdims=False)
+                if S < 64 and attn_impl != "decode_kernel":
+                    # decode / short prefill takes the dense kv-major
+                    # path: feed int8 + scales directly, no
+                    # cache-sized dequant temp (ops/attention.py)
+                    kv_scales = (ksl, vsl)
+                else:
+                    ck = _dequant_kv(ck, ksl, cdt)
+                    cv = _dequant_kv(cv, vsl, cdt)
             else:
                 kc = _append_stack(kc, k, layer_idx, cache_offsets, wm)
                 vc = _append_stack(vc, v, layer_idx, cache_offsets, wm)
@@ -638,7 +679,8 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
             cv = _append_rows(cv, v, cache_offsets)
             new_cache = (ck, cv)
         attn = _attend(cfg, attn_impl, q, ck, cv, positions, k_pos,
-                       kv_major=True, bias=attn_bias)
+                       kv_major=True, bias=attn_bias,
+                       kv_scales=kv_scales)
     else:
         attn = _attend(cfg, attn_impl, q, k, v, positions, k_pos,
                        bias=attn_bias)

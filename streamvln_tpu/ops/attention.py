@@ -69,6 +69,8 @@ def dense_attention_kvmajor(
     scale: Optional[float] = None,
     logits_soft_cap: Optional[float] = None,
     bias: Optional[jax.Array] = None,   # [B, Hq, Sq, Sk] additive (alibi)
+    k_scale: Optional[jax.Array] = None,   # [B, Hkv, Sk] (int8 cache)
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """dense_attention over KV-head-major cache buffers (no transpose).
 
@@ -76,15 +78,29 @@ def dense_attention_kvmajor(
     MXU accumulates in fp32 (`preferred_element_type`) — casting the
     cache to fp32 up front would materialize a 2x-sized copy of the
     whole capacity in HBM every step (measured ~4x cache traffic).
+
+    int8 cache (k_scale/v_scale given): the per-(head, position)
+    dequant scales COMMUTE out of both matmuls — k's scale multiplies
+    the logits along Sk, v's folds into the probabilities — so the
+    int8 buffers feed the MXU directly (int8 values are exact in bf16;
+    the convert rides the operand stream) and no dequantized
+    cache-sized temp is ever materialized. Also slightly MORE accurate
+    than dequant-then-matmul: the scale is applied in f32 after
+    accumulation instead of rounding k*scale to bf16 per element.
     """
     B, Sq, Hq, D = q.shape
     _, Hkv, Sk, _ = k.shape
     G = Hq // Hkv
     if scale is None:
         scale = D ** -0.5
-    qf = q.astype(k.dtype).reshape(B, Sq, Hkv, G, D)
-    logits = jnp.einsum("bqhgd,bhkd->bhgqk", qf, k,
+    cdt = q.dtype
+    qf = (q if k_scale is not None else q.astype(k.dtype)) \
+        .reshape(B, Sq, Hkv, G, D)
+    logits = jnp.einsum("bqhgd,bhkd->bhgqk", qf,
+                        k.astype(cdt) if k_scale is not None else k,
                         preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        logits = logits * k_scale[:, :, None, None, :]
     if bias is not None:
         logits = logits + bias.astype(jnp.float32).reshape(
             bias.shape[0], Hkv, G, *bias.shape[2:])
@@ -93,8 +109,13 @@ def dense_attention_kvmajor(
     if mask is not None:
         logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhgqk,bhkd->bqhgd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
+    if v_scale is not None:
+        pv = (probs * v_scale[:, :, None, None, :]).astype(cdt)
+        out = jnp.einsum("bhgqk,bhkd->bqhgd", pv, v.astype(cdt),
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("bhgqk,bhkd->bqhgd", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
     return out.reshape(B, Sq, Hq, D).astype(q.dtype)
 
 
@@ -224,6 +245,7 @@ def mha_attention(
     scale: Optional[float] = None,
     impl: str = "auto",
     logits_soft_cap: Optional[float] = None,
+    interpret: bool = False,   # Pallas interpret mode (CPU kernel tests)
 ) -> jax.Array:
     """Dispatch point: 'dense' | 'flash' | 'auto'.
 
@@ -235,13 +257,24 @@ def mha_attention(
         return dense_attention(q, k, v, mask, scale, logits_soft_cap)
     if impl in ("flash", "auto"):
         from streamvln_tpu.ops import flash_attention as fa
-        use_flash = fa.shapes_supported(q, k, v) and (
-            impl == "flash" or jax.default_backend() == "tpu")
+        # mha_attention is the ENCODER entry: attention here is FULL
+        # (bidirectional). The kernel is causal-by-position, so full
+        # attention = every key at position 0 (0 <= any query pos).
+        # Only worth the kernel for long sequences — the padded-D
+        # compute overhead (e.g. 128/72 for SigLIP) buys the removal
+        # of the [H, S, S] materialized-logits round-trip.
+        use_flash = (mask is None and fa.shapes_supported(q, k, v)
+                     and q.shape[1] >= 512
+                     and (impl == "flash"
+                          or jax.default_backend() == "tpu"))
         if use_flash:
+            B, Sq = q.shape[:2]
+            kp = jnp.zeros((B, k.shape[1]), jnp.int32)
+            qp = jnp.zeros((B, Sq), jnp.int32)
             return fa.flash_attention(
-                q, k, v, mask=mask, scale=scale,
-                logits_soft_cap=logits_soft_cap)
-        if impl == "flash":
+                q, k, v, q_positions=qp, k_positions=kp, scale=scale,
+                logits_soft_cap=logits_soft_cap, interpret=interpret)
+        if impl == "flash" and mask is None:
             raise NotImplementedError(
                 f"flash kernel does not support shapes q={q.shape} "
                 f"k={k.shape}")

@@ -36,11 +36,14 @@ DEFAULT_BLOCK_K = 256
 
 
 def shapes_supported(q, k, v) -> bool:
-    """Kernel constraints: head_dim 128-aligned, seq dims block-divisible
-    after padding (the wrapper pads), GQA divisibility."""
+    """Kernel constraints: GQA divisibility; head dims that are not
+    128-aligned are zero-padded by the wrapper (exact), so any D <= 128
+    or 128-multiple-padded D qualifies. The compute overhead of the
+    pad is ceil(D/128)*128/D — callers should prefer dense for tiny
+    sequences where the materialized-logits saving doesn't pay."""
     B, Sq, Hq, D = q.shape
     _, Sk, Hkv, Dk = k.shape
-    return (D == Dk and D % 128 == 0 and Hq % Hkv == 0)
+    return (D == Dk and Hq % Hkv == 0)
 
 
 def _flash_kernel(q_pos_ref, k_pos_ref,       # scalar-prefetch-like inputs
@@ -246,6 +249,17 @@ def flash_attention(
     G = Hq // Hkv
     if scale is None:
         scale = D ** -0.5
+    # lane-pad the head dim to a 128 multiple (the ViT towers run
+    # D=64/72): zero columns add zero to q.k logits and produce zero
+    # output columns (sliced off) — exact. scale is computed from the
+    # REAL D above.
+    pad_d = (-D) % 128
+    if pad_d:
+        dpad = [(0, 0)] * 4
+        dpad[3] = (0, pad_d)
+        q = jnp.pad(q, dpad)
+        k = jnp.pad(k, dpad)
+        v = jnp.pad(v, dpad)
     if q_positions is None:
         q_positions = jnp.broadcast_to(
             jnp.arange(Sq, dtype=jnp.int32)[None], (B, Sq))
@@ -292,6 +306,8 @@ def flash_attention(
     out = out.transpose(0, 2, 1, 3)
     if pad_q:
         out = out[:, :Sq]
+    if pad_d:
+        out = out[..., :D]
     return out
 
 

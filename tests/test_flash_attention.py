@@ -79,3 +79,40 @@ def test_flash_masked_row_inside_visible_block_is_zero():
     ref = np.asarray(_ref(q, k, v, q_pos, k_pos))
     np.testing.assert_allclose(out[:, 6:], ref[:, 6:], rtol=2e-5,
                                atol=2e-5)
+
+
+def test_flash_padded_head_dim_bidirectional():
+    """ViT shapes: head_dim 72 is zero-padded to 128 inside the
+    wrapper (exact), and full attention == every key at position 0
+    (the encoder entry mha_attention uses exactly this encoding)."""
+    rng = np.random.RandomState(1)
+    B, S, H, D = 2, 729, 4, 72
+    q = rng.randn(B, S, H, D).astype(np.float32)
+    k = rng.randn(B, S, H, D).astype(np.float32)
+    v = rng.randn(B, S, H, D).astype(np.float32)
+    q_pos = np.zeros((B, S), np.int32)
+    k_pos = np.zeros((B, S), np.int32)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(q_pos), jnp.asarray(k_pos),
+        block_q=128, block_k=128, interpret=True)
+    mask = np.ones((B, S, S), bool)
+    ref = dense_attention(jnp.asarray(q), jnp.asarray(k),
+                          jnp.asarray(v), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mha_attention_full_equals_dense():
+    """The encoder dispatch (mha_attention impl='flash') must compute
+    FULL attention, not causal."""
+    from streamvln_tpu.ops.attention import mha_attention
+    rng = np.random.RandomState(2)
+    B, S, H, D = 1, 512, 2, 64
+    q = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+    ref = dense_attention(q, k, v)
+    out = mha_attention(q, k, v, impl="flash", interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -18,7 +18,9 @@ def test_quantized_cache_layout_and_bytes():
     c = qwen2.KVCache.create(cfg, 2, 64, jnp.float32, quantized=True)
     assert c.k.dtype == jnp.int8 and c.v.dtype == jnp.int8
     assert c.quantized
-    assert c.k_scale.shape == c.k.shape[:-1] + (1,)
+    # scales are 4D [L, B, Hkv, Smax] — a trailing singleton would be
+    # lane-padded 128x by the TPU tiler (measured 0.8 GB/buffer at 14B)
+    assert c.k_scale.shape == c.k.shape[:-1]
     bf16 = qwen2.KVCache.create(cfg, 2, 64, jnp.bfloat16)
     assert not bf16.quantized
     q_bytes = c.k.nbytes + c.k_scale.nbytes
