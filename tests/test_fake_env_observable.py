@@ -18,6 +18,9 @@ def _env_at(heading, goal=(4.0, 0.0)):
     eps[0].start_position[:] = (0.0, 0.0)
     eps[0].start_heading = heading
     np.asarray(eps[0].goal_position)[:] = goal
+    # steering pixels point at the next reference waypoint; keep the
+    # path consistent with the overridden goal (straight line)
+    eps[0].reference_path = np.linspace((0.0, 0.0), goal, 6)
     env = FakeNavEnv(eps, rgb_shape=(48, 64, 3), observable_goal=True)
     return env.reset()
 
