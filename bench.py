@@ -170,11 +170,22 @@ def main():
         except Exception:
             presized = False
 
+    # BENCH_FIXED_LEN=1: unreachable stop id -> every call decodes the
+    # full max_new budget. With RANDOM weights the stop token appears
+    # by luck, and numerics-shifting configs (kv_int8, act_int8) shift
+    # WHEN it appears — measured: a 26% per-call "regression" at 14B
+    # kv_int8 that is entirely emission-length luck (isolated decode
+    # forwards were equal, 31.9 vs 30.5 ms). Fixed-length is the fair
+    # A/B mode; default off keeps the deployed stop semantics.
+    fixed_len = os.environ.get("BENCH_FIXED_LEN") == "1"
+    capacity = int(os.environ.get("BENCH_CAPACITY", "4096"))
+
     def measure(n_envs):
         engine = StreamingEngine(
-            params, cfg, n_envs=n_envs, cache_capacity=4096,
+            params, cfg, n_envs=n_envs, cache_capacity=capacity,
             feat_slots=40,
-            max_new_tokens=max_new, stop_ids=(tok.im_end_id,),
+            max_new_tokens=max_new,
+            stop_ids=((-1,) if fixed_len else (tok.im_end_id,)),
             compute_dtype=dtype,
             buckets=(256, 512, 768, 1024, 2304, 2560, 3072),
             fused_preprocess=os.environ.get("BENCH_FUSED_PRE") == "1",
@@ -186,6 +197,7 @@ def main():
             for e in range(n_envs):
                 engine.reset_episode(e)
             lat = []
+            tok_counts = []
             for step in range(0, n_steps, nfs):
                 frame = rng.randint(0, 255, (480, 640, 3), np.uint8)
                 if presized:
@@ -201,7 +213,7 @@ def main():
                 ids = turn_ids(first=(step == 0), memory=boundary)
                 t0 = time.perf_counter()
                 # all envs advance in lockstep: one batched dispatch per call
-                engine.generate_batch(
+                res = engine.generate_batch(
                     [(e, frame, ids, step, tuple(hist))
                      for e in range(n_envs)])
                 # block_until_ready is unreliable through the axon tunnel
@@ -209,13 +221,15 @@ def main():
                 # readback of the [B] lengths is a true sync.
                 np.asarray(engine.cache.length)
                 lat.append(time.perf_counter() - t0)
+                tok_counts.append(np.mean([len(v) for v in
+                                           res.values()]))
             if record:
-                return lat
-            return []
+                return lat, tok_counts
+            return [], []
 
         run_episode(2 * nf, record=False)          # warmup / compile
         engine.decode_tokens = engine.decode_forwards = 0
-        lat = run_episode(2 * nf, record=True)     # timed: 2 windows
+        lat, tok_counts = run_episode(2 * nf, record=True)  # 2 windows
 
         per_call_p50 = float(np.percentile(lat, 50))
         # one call covers num_future_steps env steps, for every env at once
@@ -225,6 +239,10 @@ def main():
             "per_call_p50_ms": round(per_call_p50 * 1000, 2),
             "per_call_mean_ms": round(float(np.mean(lat)) * 1000, 2),
             "calls": len(lat),
+            # mean tokens emitted per call: with random weights the
+            # stop token is luck — this makes length effects visible
+            # when comparing configs (see BENCH_FIXED_LEN)
+            "tokens_per_call": round(float(np.mean(tok_counts)), 2),
         }
         if spec_lookup and engine.decode_forwards:
             # realized speculation acceptance: decode-loop tokens per

@@ -260,13 +260,14 @@ def mha_attention(
         # mha_attention is the ENCODER entry: attention here is FULL
         # (bidirectional). The kernel is causal-by-position, so full
         # attention = every key at position 0 (0 <= any query pos).
-        # Only worth the kernel for long sequences — the padded-D
-        # compute overhead (e.g. 128/72 for SigLIP) buys the removal
-        # of the [H, S, S] materialized-logits round-trip.
-        use_flash = (mask is None and fa.shapes_supported(q, k, v)
-                     and q.shape[1] >= 512
-                     and (impl == "flash"
-                          or jax.default_backend() == "tpu"))
+        # NOT auto-dispatched: measured on v5e-1 at SigLIP shapes
+        # (S=729, D=72 zero-padded to 128) the kernel LOSES to dense
+        # XLA — 95 vs 119 frames/s at batch 32; the 128/72 padded-
+        # matmul overhead exceeds the [H,S,S] logits-materialization
+        # saving at these sizes. Explicit impl="flash" only (the win
+        # case is much longer encoder sequences, e.g. S2 multi-scale).
+        use_flash = (mask is None and impl == "flash"
+                     and fa.shapes_supported(q, k, v))
         if use_flash:
             B, Sq = q.shape[:2]
             kp = jnp.zeros((B, k.shape[1]), jnp.int32)
