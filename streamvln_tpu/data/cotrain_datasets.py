@@ -76,12 +76,16 @@ def load_mixture_entries(yaml_path: str, group: str,
     for ds in spec.get(group, []) or []:
         json_path = ds["json_path"]
         entries: List[dict] = []
-        if json_path.endswith(".jsonl"):
-            with open(json_path) as f:
-                entries = [json.loads(l) for l in f if l.strip()]
+        from streamvln_tpu.data.remote import is_remote, read_bytes
+        if json_path.endswith(".jsonl") and (
+                is_remote(json_path) or os.path.isfile(json_path)):
+            text = read_bytes(json_path).decode("utf-8")
+            entries = [json.loads(l) for l in text.splitlines()
+                       if l.strip()]
         elif json_path.endswith(".json"):
-            with open(json_path) as f:
-                entries = json.load(f)
+            # local or remote shard (reference: mmc4_dataset.py:726-735
+            # reads shards through the petrel client the same way)
+            entries = json.loads(read_bytes(json_path))
         elif os.path.isdir(json_path):
             for shard in sorted(glob.glob(os.path.join(json_path,
                                                        "*.jsonl"))):
@@ -235,9 +239,11 @@ class ConversationDataset:
 
     def _load(self, paths: List[str]) -> np.ndarray:
         from PIL import Image
+
+        from streamvln_tpu.data.remote import open_image
         raw = []
         for p in paths:
-            img = Image.open(p).convert("RGB")
+            img = open_image(p)
             if self.transform is not None:
                 img = self.transform(img)
             raw.append(np.asarray(
@@ -298,7 +304,9 @@ class MMC4Dataset:
             with_labels=True)
 
         from PIL import Image
-        raw = [np.asarray(Image.open(p).convert("RGB").resize(
+
+        from streamvln_tpu.data.remote import open_image
+        raw = [np.asarray(open_image(p).resize(
             (self.image_size, self.image_size), Image.BICUBIC), np.uint8)
             for p in paths]
         images = preprocess_frames_host(np.stack(raw), self.image_size)

@@ -120,7 +120,7 @@ def _post(url: str, payload: dict, timeout: float = 120.0) -> dict:
         return json.loads(r.read())
 
 
-def make_handler(controller_url: str):
+def make_handler(controller_url: str, moderate: bool = False):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
@@ -148,6 +148,16 @@ def make_handler(controller_url: str):
                 self._reply({"error": "bad json"}, 400)
                 return
             try:
+                if moderate and self.path in ("/api/chat",
+                                              "/api/chat_stream"):
+                    # reference: gradio_web_server gates on
+                    # violates_moderation when --moderate is set
+                    from streamvln_tpu.serve.moderation import (
+                        violates_moderation)
+                    if violates_moderation(data.get("prompt", "")):
+                        self._reply({"error_code": 3, "error":
+                                     "flagged by moderation"})
+                        return
                 if self.path == "/api/models":
                     self._reply(_post(controller_url + "/list_models",
                                       {}))
@@ -212,9 +222,10 @@ def make_handler(controller_url: str):
     return Handler
 
 
-def serve_web(controller_url: str, host="0.0.0.0", port=7860):
+def serve_web(controller_url: str, host="0.0.0.0", port=7860,
+              moderate: bool = False):
     return ThreadingHTTPServer((host, port),
-                               make_handler(controller_url))
+                               make_handler(controller_url, moderate))
 
 
 def main(argv=None):
@@ -223,8 +234,12 @@ def main(argv=None):
                     default="http://localhost:10000")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--moderate", action="store_true",
+                    help="gate prompts through the moderation hook "
+                         "(reference: gradio_web_server --moderate)")
     args = ap.parse_args(argv)
-    srv = serve_web(args.controller_url, args.host, args.port)
+    srv = serve_web(args.controller_url, args.host, args.port,
+                    moderate=args.moderate)
     print(f"web server on http://{args.host}:{args.port}")
     srv.serve_forever()
 
