@@ -139,9 +139,17 @@ def main():
 
     def turn_ids(first: bool, memory: bool):
         if first or memory:
-            base = ("You are an autonomous navigation assistant. Your "
-                    "task is to walk down the hallway and stop by the "
-                    "second door on the left near the picture frame.")
+            # BENCH_SHORT_PROMPT=1: the ByteTokenizer inflates text
+            # ~4-8x vs real BPE; a short instruction emulates
+            # HF-tokenizer prompt SIZES (the R2R instruction is ~25 BPE
+            # tokens) for capacity studies (BENCH_CAPACITY=2048)
+            if os.environ.get("BENCH_SHORT_PROMPT") == "1":
+                base = "Walk to the second door and stop."
+            else:
+                base = ("You are an autonomous navigation assistant. "
+                        "Your task is to walk down the hallway and "
+                        "stop by the second door on the left near the "
+                        "picture frame.")
             if memory:
                 base += " These are your historical observations <memory>."
             text = chatml.observation_prompt(None, base)
@@ -187,7 +195,9 @@ def main():
             max_new_tokens=max_new,
             stop_ids=((-1,) if fixed_len else (tok.im_end_id,)),
             compute_dtype=dtype,
-            buckets=(256, 512, 768, 1024, 2304, 2560, 3072),
+            buckets=tuple(b for b in
+                          (256, 512, 768, 1024, 2304, 2560, 3072)
+                          if b <= capacity),
             fused_preprocess=os.environ.get("BENCH_FUSED_PRE") == "1",
             spec_lookup=spec_lookup,
             kv_int8=os.environ.get("BENCH_KV_INT8") == "1")
