@@ -1,6 +1,7 @@
 """Batched multi-env generation == sequential per-env generation."""
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from streamvln_tpu.configs import tiny_streamvln
