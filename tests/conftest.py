@@ -14,6 +14,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the per-module jit-cache clear below
+# (segfault pin) forces recompiles of the shared tiny-model programs;
+# persisting them turns those recompiles into disk loads across
+# modules AND runs. Same-machine cache only (tests/.jax_cache_cpu).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 import pytest  # noqa: E402

@@ -152,6 +152,7 @@ def test_reset_reclaims_feature_slots():
         assert engine.envs[0].pending_token is None
 
 
+@pytest.mark.slow
 def test_idle_env_kv_survives_other_envs_big_prefill():
     """An idle env whose KV sits past (capacity - pad_to) must be
     untouched by another env's padded-bucket prefill: the dummy write

@@ -119,6 +119,7 @@ def test_frozen_vision_params_unchanged():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_chunked_loss_matches_full():
     """Sequence-chunked CE == full-logits CE (value and gradients)."""
     cfg = tiny_streamvln()
@@ -144,6 +145,7 @@ def test_chunked_loss_matches_full():
                                    rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_moe_train_step_on_mesh():
     """Expert-parallel sharding: MoE LLM params shard over the tp axis
     (experts) + fsdp (matmul dims) and a train step runs."""

@@ -51,6 +51,7 @@ def test_compute_gae_shapes_and_whitening():
     assert abs(m.mean()) < 1e-5 and abs(m.std() - 1) < 1e-2
 
 
+@pytest.mark.slow
 def test_reward_model_learns_preference(setup):
     cfg, make_params, mesh = setup
     tcfg = TrainConfig(learning_rate=5e-3, total_steps=20, remat=False,

@@ -20,6 +20,7 @@ def test_quantize_roundtrip_error():
     assert (err <= bound).all()
 
 
+@pytest.mark.slow
 def test_quantized_forward_close_to_fp():
     cfg = tiny_llm()
     params = qwen2.init(jax.random.PRNGKey(0), cfg)

@@ -68,6 +68,7 @@ def test_gqa_dense_attention_vs_repeated_mha():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_kv_cache_parity_with_full_forward():
     cfg = tiny_llm()
     params = qwen2.init(jax.random.PRNGKey(0), cfg)
@@ -92,6 +93,7 @@ def test_kv_cache_parity_with_full_forward():
     assert int(cache.length[0]) == S
 
 
+@pytest.mark.slow
 def test_kv_cache_padded_prefill_parity():
     """Right-padded prefill chunks must not corrupt later attention."""
     cfg = tiny_llm()

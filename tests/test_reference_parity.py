@@ -197,6 +197,7 @@ def stack():
 
 
 @pytest.mark.parametrize("emit", [2, 3])
+@pytest.mark.slow
 def test_streaming_action_tokens_match_torch_reference(stack, emit):
     """emit == num_future_steps (2) drives the aligned regime the
     reference exercises in practice; emit == 3 desyncs model calls from
