@@ -257,6 +257,58 @@ def _dequant_kv(buf: jax.Array, scale: jax.Array, dtype) -> jax.Array:
     return (buf.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
+def make_scratch(cfg: Qwen2Config, batch: int, capacity: int,
+                 cache: KVCache) -> KVCache:
+    """A decode-loop scratch cache matching `cache`'s dtype/quantization
+    (see forward(scratch=...)). capacity should be sublane-aligned
+    (multiple of 8) and >= the most tokens one decode loop can write."""
+    return KVCache.create(cfg, batch, capacity, dtype=cache.k.dtype,
+                          quantized=cache.quantized)
+
+
+def merge_scratch(cache: KVCache, scratch: KVCache,
+                  write_mask: Optional[jax.Array] = None) -> KVCache:
+    """Fold a decode loop's scratch KV into the big cache: ONE
+    out-of-loop DUS chain per row at the row's base offset (in-place on
+    donated buffers — the whole point: no copy is carried across loop
+    iterations). Writes the full padded scratch extent; slots past the
+    merged length hold garbage that is never attended (visibility =
+    pos < length) and is overwritten by the next call's append.
+
+    write_mask [B] bool: False rows (idle batch rows) write back what
+    they read — an exact self-copy — because their base offset can sit
+    at a full row's end where dynamic_update_slice would CLAMP the
+    start over live slots (same contract as _append_stack). Callers
+    must guarantee active rows satisfy base + scratch.capacity <=
+    cache.capacity (the engine's host-side overflow guard).
+
+    Returns the merged cache with length = cache.length +
+    scratch.length for every row; callers repair idle rows' lengths
+    exactly as they do for the append-in-place path.
+    """
+    k, v, ks, vs = cache.k, cache.v, cache.k_scale, cache.v_scale
+    B = k.shape[1]
+    zero = jnp.zeros((), jnp.int32)
+    offs = cache.length
+
+    def wr(buf, src, b, is_scale):
+        upd = src[:, b][:, None]          # [L, 1, Hkv, Ss(, D)]
+        start = (zero, jnp.int32(b), zero, offs[b]) if is_scale \
+            else (zero, jnp.int32(b), zero, offs[b], zero)
+        if write_mask is not None:
+            cur = jax.lax.dynamic_slice(buf, start, upd.shape)
+            upd = jnp.where(write_mask[b], upd, cur)
+        return jax.lax.dynamic_update_slice(buf, upd, start)
+
+    for b in range(B):
+        k = wr(k, scratch.k, b, False)
+        v = wr(v, scratch.v, b, False)
+        if ks is not None:
+            ks = wr(ks, scratch.k_scale, b, True)
+            vs = wr(vs, scratch.v_scale, b, True)
+    return KVCache(k, v, cache.length + scratch.length, ks, vs)
+
+
 # ---------------------------------------------------------------------------
 # Init
 # ---------------------------------------------------------------------------
@@ -575,7 +627,9 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
                 carry, layer_params,
                 positions, k_pos, cache_kv=None, cache_offsets=None,
                 lora_scale=None, mlp_chunk=None, int4_stk=None,
-                layer_idx=None, write_mask=None):
+                layer_idx=None, write_mask=None,
+                scratch_kv=None, scratch_offsets=None,
+                base_lengths=None):
     """One decoder block. carry = hidden states [B, S, Dm].
 
     k_pos: positions of keys — in-sequence positions (no cache) or cache
@@ -629,7 +683,68 @@ def _layer_step(cfg: Qwen2Config, attn_impl: str,
         attn_bias = -slopes[None, :, None, None] * dist
 
     kv_scales = None
-    if cache_kv is not None:
+    if scratch_kv is not None:
+        # Decode-loop scratch mode: the big cache (cache_kv, whole
+        # stacked [L, ...] buffers + layer index) is READ-ONLY and
+        # loop-invariant; this call's tokens append into the tiny
+        # scratch cache instead, and attention runs over both sources
+        # under one softmax (ops/attention.py
+        # dense_attention_kvmajor_2src). Appending into the full cache
+        # inside a while-loop forces XLA to carry an S-untiled relayout
+        # copy of the whole capacity (docs/decode_roofline.md).
+        kc, vc, ks, vs, layer_idx = cache_kv
+        sk, sv, sks, svs = scratch_kv
+        if sks is not None:
+            kq, ksc = _quantize_kv(k)
+            vq, vsc = _quantize_kv(v)
+            sk = _append_stack(sk, kq, layer_idx, scratch_offsets)
+            sv = _append_stack(sv, vq, layer_idx, scratch_offsets)
+            sks = _append_stack_scale(sks, ksc, layer_idx,
+                                      scratch_offsets)
+            svs = _append_stack_scale(svs, vsc, layer_idx,
+                                      scratch_offsets)
+        else:
+            sk = _append_stack(sk, k, layer_idx, scratch_offsets)
+            sv = _append_stack(sv, v, layer_idx, scratch_offsets)
+
+        def at_layer(a):
+            return jax.lax.dynamic_index_in_dim(a, layer_idx, 0,
+                                                keepdims=False)
+        ckl, cvl = at_layer(kc), at_layer(vc)
+        skl, svl = at_layer(sk), at_layer(sv)
+        scales1 = (at_layer(ks), at_layer(vs)) if ks is not None \
+            else None
+        scales2 = (at_layer(sks), at_layer(svs)) if sks is not None \
+            else None
+        Ss = skl.shape[2]
+        # scratch keys' global positions; slots past the current write
+        # hold stale data at HIGHER positions than any live query, so
+        # the standard visibility rule hides them (same invariant as
+        # the big cache). k_pos already masks big-cache slots >= the
+        # row's base length (stale rollback slots would otherwise sit
+        # at visible indices).
+        k_pos_scr = base_lengths[:, None] + \
+            jnp.arange(Ss, dtype=jnp.int32)[None]
+        mask1 = k_pos[:, None, :] <= positions[:, :, None]
+        mask2 = k_pos_scr[:, None, :] <= positions[:, :, None]
+        bias2 = None
+        if attn_bias is not None:
+            # alibi: recompute the per-source additive bias from each
+            # source's key positions (masked slots are overridden by
+            # the visibility mask downstream)
+            slopes = alibi_slopes(cfg.num_heads)
+            dist2 = positions[:, None, :, None].astype(jnp.float32) - \
+                k_pos_scr[:, None, None, :].astype(jnp.float32)
+            bias2 = -slopes[None, :, None, None] * dist2
+        from streamvln_tpu.ops.attention import (
+            dense_attention_kvmajor_2src)
+        attn = dense_attention_kvmajor_2src(
+            q, ckl, cvl, mask1, skl, svl, mask2,
+            logits_soft_cap=cfg.attn_logits_soft_cap,
+            bias1=attn_bias, bias2=bias2,
+            kv_scales1=scales1, kv_scales2=scales2)
+        new_cache = (sk, sv, sks, svs)
+    elif cache_kv is not None:
         if len(cache_kv) == 5:
             # stacked-carry path: whole [L, ...] cache (+ optional int8
             # scales) + layer index. Append the S new tokens in place
@@ -762,6 +877,11 @@ def forward(
     inputs_embeds: jax.Array,              # [B, S, Dm]
     positions: jax.Array,                  # [B, S] global positions
     cache: Optional[KVCache] = None,
+    scratch: Optional[KVCache] = None,  # decode-loop scratch mode: the
+    # big cache is READ-ONLY (length = base fill); new KV appends into
+    # this small per-call buffer at scratch.length offsets. Returns the
+    # updated SCRATCH as the second output. Keeps the big cache
+    # loop-invariant inside decode while-loops (see _layer_step).
     new_lengths: Optional[jax.Array] = None,  # [B] real (unpadded) new tokens
     valid: Optional[jax.Array] = None,     # [B, S] bool; False = padding
     attn_impl: str = "auto",
@@ -789,7 +909,44 @@ def forward(
     B, S, Dm = inputs_embeds.shape
     x = inputs_embeds
 
-    if cache is not None:
+    if scratch is not None:
+        assert cache is not None
+        if new_lengths is None:
+            new_lengths = jnp.full((B,), S, jnp.int32)
+        base = cache.length
+        idx = jnp.broadcast_to(
+            jnp.arange(cache.capacity, dtype=jnp.int32)[None],
+            (B, cache.capacity))
+        # big-cache slots at/past the base fill may hold stale rollback
+        # data at otherwise-visible indices — mask them out explicitly
+        # (in the append-in-place path they are overwritten instead)
+        k_pos = jnp.where(idx < base[:, None], idx, INVALID_POS)
+        offsets = scratch.length
+
+        lora_scale = params.get("lora_scale")
+        scan_layers, int4_stk = _split_int4_stacks(params["layers"])
+
+        def step(carry, xs):
+            x, sk, sv, sks, svs = carry
+            lp, layer_idx = xs
+            x, (sk, sv, sks, svs) = _layer_step(
+                cfg, attn_impl, x, lp, positions, k_pos,
+                cache_kv=(cache.k, cache.v, cache.k_scale,
+                          cache.v_scale, layer_idx),
+                scratch_kv=(sk, sv, sks, svs),
+                scratch_offsets=offsets, base_lengths=base,
+                lora_scale=lora_scale, int4_stk=int4_stk,
+                layer_idx=layer_idx)
+            return (x, sk, sv, sks, svs), None
+
+        (x, nsk, nsv, nsks, nsvs), _ = jax.lax.scan(
+            step, (x, scratch.k, scratch.v,
+                   scratch.k_scale, scratch.v_scale),
+            (scan_layers,
+             jnp.arange(cfg.num_layers, dtype=jnp.int32)))
+        new_cache = KVCache(nsk, nsv, scratch.length + new_lengths,
+                            nsks, nsvs)
+    elif cache is not None:
         if new_lengths is None:
             new_lengths = jnp.full((B,), S, jnp.int32)
         k_pos = jnp.broadcast_to(

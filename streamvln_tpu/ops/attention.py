@@ -119,6 +119,79 @@ def dense_attention_kvmajor(
     return out.reshape(B, Sq, Hq, D).astype(q.dtype)
 
 
+def dense_attention_kvmajor_2src(
+    q: jax.Array,             # [B, Sq, Hq, D]
+    k1: jax.Array,            # [B, Hkv, S1, D] big cache (read-only)
+    v1: jax.Array,
+    mask1: jax.Array,         # [B, Sq, S1] bool
+    k2: jax.Array,            # [B, Hkv, S2, D] loop scratch
+    v2: jax.Array,
+    mask2: jax.Array,         # [B, Sq, S2] bool
+    scale: Optional[float] = None,
+    logits_soft_cap: Optional[float] = None,
+    bias1: Optional[jax.Array] = None,   # [B, Hq, Sq, S1] (alibi)
+    bias2: Optional[jax.Array] = None,
+    kv_scales1: Optional[tuple] = None,  # (k_scale, v_scale) [B,Hkv,S1]
+    kv_scales2: Optional[tuple] = None,
+) -> jax.Array:
+    """dense_attention_kvmajor over TWO kv sources under ONE softmax.
+
+    The decode-loop hot path (streaming/engine.py): the big KV cache
+    stays LOOP-INVARIANT (source 1, read-only) while the current call's
+    tokens accumulate in a tiny scratch buffer (source 2) — appending
+    into the full cache inside a while-loop makes XLA carry a second,
+    S-untiled relayout copy of the whole capacity across iterations
+    (docs/decode_roofline.md, "in-loop relayout copies": 2x cache HBM,
+    the 14B batched-8 OOM). Scores for both sources are concatenated
+    before the softmax, so the result equals single-source attention
+    over the concatenated keys exactly, up to the f32 summation
+    grouping of the output matmul (out = p1@v1 + p2@v2).
+
+    int8 sources (kv_scales given) fold their dequant scales into the
+    logits/probabilities exactly as dense_attention_kvmajor does.
+    """
+    B, Sq, Hq, D = q.shape
+    _, Hkv, S1, _ = k1.shape
+    G = Hq // Hkv
+    if scale is None:
+        scale = D ** -0.5
+    cdt = q.dtype
+
+    def logits_for(k, k_scale, mask, bias):
+        qf = (q if k_scale is not None else q.astype(k.dtype)) \
+            .reshape(B, Sq, Hkv, G, D)
+        lg = jnp.einsum("bqhgd,bhkd->bhgqk", qf,
+                        k.astype(cdt) if k_scale is not None else k,
+                        preferred_element_type=jnp.float32) * scale
+        if k_scale is not None:
+            lg = lg * k_scale[:, :, None, None, :]
+        if bias is not None:
+            lg = lg + bias.astype(jnp.float32).reshape(
+                bias.shape[0], Hkv, G, *bias.shape[2:])
+        if logits_soft_cap is not None:
+            lg = jnp.tanh(lg / logits_soft_cap) * logits_soft_cap
+        return jnp.where(mask[:, None, None, :, :], lg, NEG_INF)
+
+    ks1, vs1 = kv_scales1 if kv_scales1 is not None else (None, None)
+    ks2, vs2 = kv_scales2 if kv_scales2 is not None else (None, None)
+    lg = jnp.concatenate([logits_for(k1, ks1, mask1, bias1),
+                          logits_for(k2, ks2, mask2, bias2)], axis=-1)
+    probs = jax.nn.softmax(lg, axis=-1)
+    p1, p2 = probs[..., :S1], probs[..., S1:]
+
+    def out_for(p, v, v_scale):
+        if v_scale is not None:
+            p = (p * v_scale[:, :, None, None, :]).astype(cdt)
+            v = v.astype(cdt)
+        else:
+            p = p.astype(v.dtype)
+        return jnp.einsum("bhgqk,bhkd->bqhgd", p, v,
+                          preferred_element_type=jnp.float32)
+
+    out = out_for(p1, v1, vs1) + out_for(p2, v2, vs2)
+    return out.reshape(B, Sq, Hq, D).astype(q.dtype)
+
+
 def chunked_attention(
     q: jax.Array,            # [B, Sq, Hq, D]
     k: jax.Array,            # [B, Sk, Hkv, D]

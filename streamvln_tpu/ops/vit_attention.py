@@ -51,18 +51,62 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_real: int):
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("scale", "interpret"))
+def _reference(q, k, v, scale):
+    """Plain-XLA math of the kernel (f32 softmax over the full score
+    matrix) — the VJP recomputation target. Encoder sequences are short,
+    so the dense backward is what training always ran pre-kernel."""
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+    return o.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _vit_attention(q, k, v, scale: float, interpret: bool):
+    return _vit_attention_fwd(q, k, v, scale, interpret)[0]
+
+
+def _vit_attention_fwd(q, k, v, scale, interpret):
+    return _vit_attention_impl(q, k, v, scale=scale,
+                               interpret=interpret), (q, k, v)
+
+
+def _vit_attention_bwd(scale, interpret, res, g):
+    # backward = dense recompute: the whole-sequence forward kernel has
+    # no gradient rule; encoder attention trained through dense XLA
+    # before the kernel existed and the bwd FLOPs are prefill-class
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _reference(q_, k_, v_, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_vit_attention.defvjp(_vit_attention_fwd, _vit_attention_bwd)
+
+
 def vit_attention(q: jax.Array,      # [B, S, H, D]
                   k: jax.Array,
                   v: jax.Array,
                   scale: Optional[float] = None,
                   interpret: bool = False) -> jax.Array:
     """Full (bidirectional) MHA for encoder shapes. Exact vs
-    dense_attention up to f32 summation order."""
-    B, S, H, D = q.shape
+    dense_attention up to f32 summation order. Differentiable: the
+    forward runs the VMEM kernel, the backward recomputes through the
+    equivalent dense math (custom VJP)."""
     if scale is None:
-        scale = D ** -0.5
+        scale = q.shape[3] ** -0.5
+    return _vit_attention(q, k, v, float(scale), interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret"))
+def _vit_attention_impl(q: jax.Array,      # [B, S, H, D]
+                        k: jax.Array,
+                        v: jax.Array,
+                        scale: float,
+                        interpret: bool = False) -> jax.Array:
+    B, S, H, D = q.shape
     # S pads to the score LANE width (128) so the [Sp, Sp] score block
     # tiles; D pads to 128 lanes for the q/k/v blocks.
     Sp = -(-S // 128) * 128

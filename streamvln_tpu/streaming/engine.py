@@ -201,12 +201,25 @@ def _prefill_decode(
     return result, cache, feat_cache, ids_buf
 
 
+def _scratch_size(n_tokens: int) -> int:
+    """Sublane-aligned scratch capacity for a decode loop that can
+    write at most n_tokens KV entries (see qwen2.make_scratch)."""
+    return max(8, -(-n_tokens // 8) * 8)
+
+
 def _greedy_loop(params, cfg, cache, last_logits, max_new: int,
                  stop_arr, attn_impl, compute_dtype, force_done=None):
     """Shared greedy while-loop: first token from `last_logits`, then
     feed-forward decode with per-row stop masking. Returns
     (out [B, max_new], n_out [B], cache). Rows in `force_done` emit
-    their argmax token but never advance the loop or their KV length."""
+    their argmax token but never advance the loop or their KV length.
+
+    The big cache is LOOP-INVARIANT: each step's KV appends into a tiny
+    scratch cache (qwen2.forward scratch mode) that merges into the big
+    cache ONCE after the loop — appending into the full cache inside
+    the while-loop made XLA carry an S-untiled relayout copy of the
+    whole capacity across iterations (2x cache HBM; the 14B batched-8
+    OOM — docs/decode_roofline.md)."""
     B = last_logits.shape[0]
     first_tok = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 
@@ -214,41 +227,44 @@ def _greedy_loop(params, cfg, cache, last_logits, max_new: int,
         return jnp.any(t[:, None] == stop_arr[None, :], axis=-1)
 
     out0 = jnp.zeros((B, max_new), jnp.int32).at[:, 0].set(first_tok)
+    scratch0 = qwen2.make_scratch(cfg.llm, B, _scratch_size(max_new),
+                                  cache)
 
     def cond(state):
-        cache, cur, out, n, done = state
+        scratch, cur, out, n, done = state
         return jnp.logical_and(jnp.any(~done), n < max_new)
 
     wm = None if force_done is None else ~force_done
 
     def body(state):
-        cache, cur, out, n, done = state
+        scratch, cur, out, n, done = state
         emb = qwen2.embed_tokens(params["llm"], cur[:, None],
                                  cfg.llm).astype(compute_dtype)
-        pos = cache.length[:, None]
-        logits, new_cache = qwen2.forward(
+        pos = (cache.length + scratch.length)[:, None]
+        logits, new_scratch = qwen2.forward(
             params["llm"], cfg.llm, emb, pos, cache=cache,
-            attn_impl=attn_impl, write_mask=wm)
+            scratch=scratch, attn_impl=attn_impl)
         nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         # rows already done must not advance their lengths; their garbage
         # KV write lands past the frozen length, is never attended, and is
         # overwritten by the next real write at that offset.
-        new_cache = KVCache(
-            new_cache.k, new_cache.v,
-            jnp.where(done, cache.length, new_cache.length),
-            new_cache.k_scale, new_cache.v_scale)
+        new_scratch = KVCache(
+            new_scratch.k, new_scratch.v,
+            jnp.where(done, scratch.length, new_scratch.length),
+            new_scratch.k_scale, new_scratch.v_scale)
         out = jnp.where(done[:, None], out,
                         jax.vmap(lambda o, t, i: o.at[i].set(t))(
                             out, nxt, jnp.full((B,), 0, jnp.int32) + n))
         done_next = done | is_stop(nxt)
         cur = jnp.where(done_next, cur, nxt)
-        return (new_cache, cur, out, n + 1, done_next)
+        return (new_scratch, cur, out, n + 1, done_next)
 
     done0 = is_stop(first_tok)
     if force_done is not None:
         done0 = jnp.logical_or(done0, force_done)
-    state = (cache, first_tok, out0, jnp.int32(1), done0)
-    cache, _, out, n_steps, _ = jax.lax.while_loop(cond, body, state)
+    state = (scratch0, first_tok, out0, jnp.int32(1), done0)
+    scratch, _, out, n_steps, _ = jax.lax.while_loop(cond, body, state)
+    cache = qwen2.merge_scratch(cache, scratch, write_mask=wm)
 
     # count real tokens per row: tokens up to and including first stop
     stop_mask = jnp.any(out[:, :, None] == stop_arr[None, None, :],
@@ -303,6 +319,8 @@ def _sample_loop(params, cfg, cache, last_logits, max_new: int,
     track = ids_buf is not None
     if not track:
         ids_buf = jnp.zeros((B, 1), jnp.int32)    # dummy carry
+    scratch0 = qwen2.make_scratch(cfg.llm, B, _scratch_size(max_new),
+                                  cache)
 
     def cond(state):
         done, n = state[4], state[3]
@@ -311,36 +329,39 @@ def _sample_loop(params, cfg, cache, last_logits, max_new: int,
     wm = None if force_done is None else ~force_done
 
     def body(state):
-        cache, cur, out, n, done, key, ids_buf = state
+        scratch, cur, out, n, done, key, ids_buf = state
         emb = qwen2.embed_tokens(params["llm"], cur[:, None],
                                  cfg.llm).astype(compute_dtype)
-        pos = cache.length[:, None]
+        tot_len = cache.length + scratch.length
+        pos = tot_len[:, None]
         if track:
             ids_buf = jax.vmap(
                 lambda row, t, off: jax.lax.dynamic_update_slice(
-                    row, t[None], (off,)))(ids_buf, cur, cache.length)
-        logits, new_cache = qwen2.forward(
+                    row, t[None], (off,)))(ids_buf, cur, tot_len)
+        logits, new_scratch = qwen2.forward(
             params["llm"], cfg.llm, emb, pos, cache=cache,
-            attn_impl=attn_impl, write_mask=wm)
+            scratch=scratch, attn_impl=attn_impl)
         key, sub = jax.random.split(key)
         nxt = _sample_tok(logits[:, 0], temp, top_p, sub)
-        new_cache = KVCache(
-            new_cache.k, new_cache.v,
-            jnp.where(done, cache.length, new_cache.length),
-            new_cache.k_scale, new_cache.v_scale)
+        new_scratch = KVCache(
+            new_scratch.k, new_scratch.v,
+            jnp.where(done, scratch.length, new_scratch.length),
+            new_scratch.k_scale, new_scratch.v_scale)
         out = jnp.where(done[:, None], out,
                         jax.vmap(lambda o, t, i: o.at[i].set(t))(
                             out, nxt, jnp.full((B,), 0, jnp.int32) + n))
         done_next = done | is_stop(nxt)
         cur = jnp.where(done_next, cur, nxt)
-        return (new_cache, cur, out, n + 1, done_next, key, ids_buf)
+        return (new_scratch, cur, out, n + 1, done_next, key, ids_buf)
 
     done0 = is_stop(first_tok)
     if force_done is not None:
         done0 = jnp.logical_or(done0, force_done)
-    state = (cache, first_tok, out0, jnp.int32(1), done0, key, ids_buf)
-    cache, _, out, n_steps, _, _, ids_buf = jax.lax.while_loop(
+    state = (scratch0, first_tok, out0, jnp.int32(1), done0, key,
+             ids_buf)
+    scratch, _, out, n_steps, _, _, ids_buf = jax.lax.while_loop(
         cond, body, state)
+    cache = qwen2.merge_scratch(cache, scratch, write_mask=wm)
 
     stop_mask = jnp.any(out[:, :, None] == stop_arr[None, None, :],
                         axis=-1)
@@ -410,21 +431,25 @@ def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
         # progress for that row
         return jnp.where(j >= 0, dr, jnp.full((k,), -7, jnp.int32))
 
+    scratch0 = qwen2.make_scratch(cfg.llm, B,
+                                  _scratch_size(max_new + k), cache)
+
     def cond(state):
         done = state[6]
         return jnp.any(~done)
 
     def body(state):
-        cache, ids_buf, p0, c0, out, n, done, iters = state
-        drafts = jax.vmap(draft_row)(ids_buf, cache.length, p0, c0)
+        scratch, ids_buf, p0, c0, out, n, done, iters = state
+        tot_len = cache.length + scratch.length
+        drafts = jax.vmap(draft_row)(ids_buf, tot_len, p0, c0)
         fed = jnp.concatenate([c0[:, None], drafts], axis=1)  # [B,k+1]
         emb = qwen2.embed_tokens(
             params["llm"], fed, cfg.llm).astype(compute_dtype)
-        pos = cache.length[:, None] + \
+        pos = tot_len[:, None] + \
             jnp.arange(k + 1, dtype=jnp.int32)[None]
-        logits, new_cache = qwen2.forward(
+        logits, new_scratch = qwen2.forward(
             params["llm"], cfg.llm, emb, pos, cache=cache,
-            attn_impl=attn_impl, write_mask=wm)
+            scratch=scratch, attn_impl=attn_impl)
         truth = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B,k+1]
 
         # longest accepted prefix: d_{i+1} must equal truth[i]
@@ -454,10 +479,10 @@ def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
         # (c0 + the accepted draft prefix); record their token ids
         ids_buf = jax.vmap(
             lambda row, f, off: jax.lax.dynamic_update_slice(
-                row, f, (off,)))(ids_buf, fed, cache.length)
-        new_cache = KVCache(new_cache.k, new_cache.v,
-                            cache.length + emit,
-                            new_cache.k_scale, new_cache.v_scale)
+                row, f, (off,)))(ids_buf, fed, tot_len)
+        new_scratch = KVCache(new_scratch.k, new_scratch.v,
+                              scratch.length + emit,
+                              new_scratch.k_scale, new_scratch.v_scale)
 
         last_i = jnp.maximum(emit - 1, 0)[:, None]
         last_tok = jnp.take_along_axis(truth, last_i, axis=1)[:, 0]
@@ -469,12 +494,14 @@ def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
         iters = iters + (~done).astype(jnp.int32)
         n = n + emit
         done = done | stopped | (n >= max_new)
-        return (new_cache, ids_buf, new_p0, new_c0, out, n, done, iters)
+        return (new_scratch, ids_buf, new_p0, new_c0, out, n, done,
+                iters)
 
-    state = (cache, ids_buf, p0_init, first_tok, out0, n0, done0,
+    state = (scratch0, ids_buf, p0_init, first_tok, out0, n0, done0,
              jnp.zeros((B,), jnp.int32))
-    cache, ids_buf, _, _, out, n, _, iters = jax.lax.while_loop(
+    scratch, ids_buf, _, _, out, n, _, iters = jax.lax.while_loop(
         cond, body, state)
+    cache = qwen2.merge_scratch(cache, scratch, write_mask=wm)
     return out, n, cache, ids_buf, iters
 
 
@@ -510,8 +537,11 @@ def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
     emb = qwen2.embed_tokens(params["llm"], pending[:, None],
                              cfg.llm).astype(compute_dtype)
     pos = cache.length[:, None]
+    # write_mask: inactive rows' dummy pending-token append becomes a
+    # self-copy (a full row's clamped write would smash live low slots)
     logits, cache = qwen2.forward(params["llm"], cfg.llm, emb, pos,
-                                  cache=cache, attn_impl=attn_impl)
+                                  cache=cache, attn_impl=attn_impl,
+                                  write_mask=active)
     stop_arr = jnp.asarray(stop_ids, jnp.int32)
     if sample_params is not None:
         temp, top_p, key = sample_params
@@ -861,18 +891,19 @@ class StreamingEngine:
             self._expanded_len(ids_with_pending(r[0], r[2]))
             for r in requests))
         cap = self.cache.capacity
+        # the decode loop's scratch merge writes its full sublane-padded
+        # extent at the post-prefill offset (qwen2.merge_scratch), so
+        # active rows need that much headroom past their real tokens
+        scr = _scratch_size(self.max_new + self.spec_lookup)
         for env, frame_u8, turn_ids, step_id, history_steps in requests:
             length = self._expanded_len(ids_with_pending(env, turn_ids))
-            worst = self.envs[env].kv_length + length + self.max_new
+            worst = self.envs[env].kv_length + length + scr
             # the prefill writes the FULL padded bucket at this row's
             # offset; dynamic_update_slice CLAMPS a start that would
             # run past capacity, silently shifting the write down over
             # valid low slots (measured token corruption) — so the
             # padded write must fit too, not just the real tokens
             worst = max(worst, self.envs[env].kv_length + pad_to)
-            # speculative decode writes k+1 tokens per verify step, so
-            # the last accepted offset needs spec_lookup extra headroom
-            worst += self.spec_lookup
             if worst > cap:
                 raise RuntimeError(
                     f"env {env}: KV cache would overflow "
@@ -949,7 +980,8 @@ class StreamingEngine:
         if env in self._inflight:
             raise RuntimeError(
                 f"env {env} has an uncollected async handle")
-        worst = st.kv_length + 1 + self.max_new + self.spec_lookup
+        worst = st.kv_length + 1 + _scratch_size(
+            self.max_new + self.spec_lookup)
         if worst > self.cache.capacity:
             raise RuntimeError(
                 f"env {env}: KV cache would overflow ({worst} > "
