@@ -283,8 +283,10 @@ def merge_scratch(cache: KVCache, scratch: KVCache,
     cache.capacity (the engine's host-side overflow guard).
 
     Returns the merged cache with length = cache.length +
-    scratch.length for every row; callers repair idle rows' lengths
-    exactly as they do for the append-in-place path.
+    scratch.length for every row. Idle rows' lengths are already
+    correct (their scratch.length never advances — the decode loops
+    freeze it via the done mask); only force-masked inactive rows are
+    restored by callers (the engine's saved_length reinstate).
     """
     k, v, ks, vs = cache.k, cache.v, cache.k_scale, cache.v_scale
     B = k.shape[1]
@@ -911,6 +913,14 @@ def forward(
 
     if scratch is not None:
         assert cache is not None
+        # scratch mode has no per-row masked-append or padding support:
+        # a caller passing write_mask/valid expecting the
+        # append-in-place path's idle-row self-copy contract would get
+        # unmasked scratch appends silently (callers instead restore
+        # idle rows' lengths after the loop — see merge_scratch)
+        assert write_mask is None, "scratch mode: use length restore"
+        assert valid is None, "scratch mode has no padding support"
+        assert not remat, "scratch mode is inference-only (no remat)"
         if new_lengths is None:
             new_lengths = jnp.full((B,), S, jnp.int32)
         base = cache.length

@@ -163,10 +163,16 @@ def _prefill_decode(
         # call that carries a shadow — sampled calls advance
         # cache.length too, and a stale shadow region would silently
         # collapse later speculative acceptance to ~1 token/forward.
+        # Inactive rows self-copy (same clamp hazard as the KV write:
+        # a capacity-full idle row's clamped write would overwrite
+        # live shadow slots and silently degrade later acceptance).
         shadow = jnp.where(is_vision, jnp.int32(-1), token_ids)
-        ids_buf = jax.vmap(
-            lambda row, s, off: jax.lax.dynamic_update_slice(
-                row, s, (off,)))(ids_buf, shadow, offsets)
+
+        def _shadow_wr(row, s, off, act):
+            cur = jax.lax.dynamic_slice(row, (off,), (s.shape[0],))
+            return jax.lax.dynamic_update_slice(
+                row, jnp.where(act, s, cur), (off,))
+        ids_buf = jax.vmap(_shadow_wr)(ids_buf, shadow, offsets, active)
     if sample_params is not None:
         temp, top_p, key = sample_params
         out, n_out, cache, ids_sampled = _sample_loop(
@@ -531,9 +537,15 @@ def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
     would be cast to int8)."""
     saved_length = cache.length
     if spec_k:
-        ids_buf = jax.vmap(
-            lambda row, t, off: jax.lax.dynamic_update_slice(
-                row, t[None], (off,)))(ids_buf, pending, cache.length)
+        # inactive rows self-copy: a capacity-full idle row's clamped
+        # write would overwrite its live shadow slot cap-1 with a dummy
+        # pending id (silent speculative-acceptance degradation)
+        def _shadow_wr(row, t, off, act):
+            cur = jax.lax.dynamic_slice(row, (off,), (1,))
+            return jax.lax.dynamic_update_slice(
+                row, jnp.where(act, t[None], cur), (off,))
+        ids_buf = jax.vmap(_shadow_wr)(ids_buf, pending, cache.length,
+                                       active)
     emb = qwen2.embed_tokens(params["llm"], pending[:, None],
                              cfg.llm).astype(compute_dtype)
     pos = cache.length[:, None]
