@@ -116,12 +116,17 @@ def main(argv=None):
         np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
 
     # --- host-only -----------------------------------------------------
+    # block on the uploaded leaves: device_put is ASYNC, so without the
+    # block host_ms would omit the actual host->device transfer time —
+    # on a tunneled chip the ~20 MB/step of image bytes is a large,
+    # real cost the full loop pays (it made depth0 look mysteriously
+    # slower than host+compute)
     idxs = [rng.randint(0, n, args.batch_size).tolist()
             for _ in range(args.steps + args.warmup)]
     cached = make_batch(idxs[0])
     t0 = time.perf_counter()
     for i in range(args.steps):
-        make_batch(idxs[i % len(idxs)])
+        jax.block_until_ready(make_batch(idxs[i % len(idxs)]))
     host_ms = (time.perf_counter() - t0) / args.steps * 1e3
 
     # --- compute-only (repeated step on the cached batch) --------------
