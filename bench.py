@@ -135,14 +135,29 @@ def main():
     # leave both copies resident (~4 GB dead weight at 7B)
     from streamvln_tpu.models.fuse import fuse_projections
     params = fuse_projections(params)
-    tok = ByteTokenizer()
+    # real byte-level BPE by default (tests/fixtures/bpe_tokenizer — a
+    # committed HF fast tokenizer with Qwen2's structure): headline Hz
+    # and capacity numbers are measured at honest token counts. The
+    # deployed stack uses the real Qwen2 vocab (same mechanics); the
+    # ByteTokenizer (BENCH_TOKENIZER=byte) inflates text ~4-8x and is
+    # kept for byte-exact continuity with rounds 1-4.
+    tok_kind = os.environ.get("BENCH_TOKENIZER", "bpe")
+    if tok_kind == "bpe":
+        from streamvln_tpu.data.tokenizer import load_tokenizer
+        fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "fixtures", "bpe_tokenizer")
+        tok = load_tokenizer(os.environ.get("BENCH_TOKENIZER_PATH",
+                                            fixture))
+        if isinstance(tok, ByteTokenizer):   # fixture missing
+            tok_kind = "byte"
+    else:
+        tok = ByteTokenizer()
 
     def turn_ids(first: bool, memory: bool):
         if first or memory:
-            # BENCH_SHORT_PROMPT=1: the ByteTokenizer inflates text
-            # ~4-8x vs real BPE; a short instruction emulates
-            # HF-tokenizer prompt SIZES (the R2R instruction is ~25 BPE
-            # tokens) for capacity studies (BENCH_CAPACITY=2048)
+            # BENCH_SHORT_PROMPT=1: a short instruction for capacity
+            # studies (BENCH_CAPACITY=2048); mainly relevant under
+            # BENCH_TOKENIZER=byte where text inflates ~4-8x
             if os.environ.get("BENCH_SHORT_PROMPT") == "1":
                 base = "Walk to the second door and stop."
             else:
@@ -480,6 +495,7 @@ def main():
         "config": {
             "model": model_name,
             "backend": backend,
+            "tokenizer": tok_kind,
             "max_new_tokens": max_new,
             "presized_upload": presized,
             **{k: v for k, v in head.items() if k != "hz"},

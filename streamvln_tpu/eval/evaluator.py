@@ -236,6 +236,9 @@ class VLNEvaluator:
             out["model_call_p50_ms"] = lat["p50_ms"]
             out["model_call_p90_ms"] = lat["p90_ms"]
         if self.rank == 0:
+            # trailing newline matters: a resumed run appends its own
+            # aggregate, and without it the two JSON objects concatenate
+            # onto one unparseable line
             with open(self._result_file(), "a") as f:
-                f.write(json.dumps(out))
+                f.write(json.dumps(out) + "\n")
         return out
