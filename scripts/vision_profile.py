@@ -1,0 +1,215 @@
+"""Vision-tower MFU decomposition on the real chip (VERDICT r4 #6).
+
+Where do the non-MXU milliseconds of a SigLIP encode go? This script
+measures, at the bench's exact shapes (so400m: S=729, D=1152, FF=4304,
+H=16, Dh=72, 26 layers, batch 32 bf16):
+
+  1. the full tower (attn auto = VMEM kernel, and dense) — the bench's
+     vision_fps / vision_mfu_pct numbers;
+  2. component ablations over a script-local mirror of
+     siglip.forward_embeddings (attention / LN / GELU / MLP stubbed in
+     turn) — each component's marginal cost inside the real layer scan;
+  3. pure-matmul probes at the constituent shapes — the achievable
+     MXU rate for each matmul class, i.e. the compute floor a perfect
+     fusion could reach (the QK^T/PV probes include the Dh=72 -> 128
+     pad tax, which is intrinsic to the checkpoint's head dim).
+
+The mirror is asserted to match the real forward's timing within 5%
+before any ablation is trusted. Output: one JSON line per measurement
+plus a summary table.
+
+Usage (owns the TPU while it runs):
+  python scripts/vision_profile.py [--batch 32] [--dense]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamvln_tpu import configs
+from streamvln_tpu.models import siglip
+from streamvln_tpu.ops.attention import mha_attention
+
+PEAK_BF16_TFLOPS = 197.0  # v5e
+
+
+def sync(x):
+    # block_until_ready is unreliable through the axon tunnel; a tiny
+    # host readback is a true sync (see bench.py).
+    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+
+
+def timeit(fn, *args, n=8, warmup=2):
+    for _ in range(warmup):
+        sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / n
+
+
+def mirror_forward(params, cfg, embeds, *, attn_impl="auto",
+                   use_attn=True, use_ln=True, use_gelu=True,
+                   use_mlp=True):
+    """Script-local copy of siglip.forward_embeddings (siglip.py:117)
+    with stubbable components. Ablations keep the dataflow (residual
+    adds, dtype round-trips) so only the stubbed op's cost drops out."""
+    B = embeds.shape[0]
+    x = embeds + params["pos_embed"].astype(embeds.dtype)[None]
+    H, Dh = cfg.num_heads, cfg.head_dim
+    N = cfg.num_patches
+
+    def ln(x, s, b):
+        if not use_ln:
+            return x
+        return siglip.layer_norm(x, s, b, cfg.layer_norm_eps)
+
+    def block(x, p):
+        in_dtype = x.dtype
+        h = ln(x, p["ln1_s"], p["ln1_b"])
+        q = (jnp.dot(h, p["q_w"]) + p["q_b"]).reshape(B, N, H, Dh)
+        k = (jnp.dot(h, p["k_w"]) + p["k_b"]).reshape(B, N, H, Dh)
+        v = (jnp.dot(h, p["v_w"]) + p["v_b"]).reshape(B, N, H, Dh)
+        attn = mha_attention(q, k, v, impl=attn_impl) if use_attn else v
+        attn = attn.reshape(B, N, H * Dh)
+        x = x + jnp.dot(attn, p["o_w"]) + p["o_b"]
+        h = ln(x, p["ln2_s"], p["ln2_b"])
+        if use_mlp:
+            h = jnp.dot(h, p["fc1_w"]) + p["fc1_b"]
+            if use_gelu:
+                h = jax.nn.gelu(h, approximate=True)
+            h = jnp.dot(h, p["fc2_w"]) + p["fc2_b"]
+        x = x + h.astype(x.dtype) if use_mlp else x
+        return x.astype(in_dtype), None
+
+    x, _ = jax.lax.scan(block, x, params["layers"])
+    return x
+
+
+def matmul_probe(m, k_, n, dtype, reps=16):
+    """Achievable TF/s for an [m,k]x[k,n] chain (serial scan keeps the
+    MXU busy on one dependent stream, amortizing dispatch)."""
+    a = jnp.zeros((m, k_), dtype)
+    ws = jnp.zeros((reps, k_, n), dtype)
+
+    @jax.jit
+    def chain(a, ws):
+        def body(c, w):
+            o = jnp.dot(c, w)
+            # fold back to [m,k] so the chain composes for any n
+            return jax.lax.dynamic_slice(
+                jnp.pad(o, ((0, 0), (0, max(0, k_ - n)))),
+                (0, 0), (m, k_)).astype(a.dtype), ()
+        c, _ = jax.lax.scan(body, a, ws)
+        return c
+
+    t = timeit(chain, a, ws, n=4)
+    return 2 * m * k_ * n * reps / t / 1e12  # TF/s
+
+
+def attention_probe(B, S, H, Dh, dtype, impl):
+    q = jnp.zeros((B, S, H, Dh), dtype)
+    fn = jax.jit(functools.partial(mha_attention, impl=impl))
+    t = timeit(fn, q, q, q)
+    flops = 2 * 2 * B * H * S * S * Dh
+    return t * 1e3, flops / t / 1e12
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--layers", type=int, default=0,
+                    help="override layer count (0 = config)")
+    args = ap.parse_args()
+
+    cfg = configs.siglip_so400m()
+    if args.layers:
+        cfg = dataclasses.replace(cfg, num_layers=args.layers)
+    dtype = jnp.bfloat16
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.float32),
+        siglip.init(jax.random.PRNGKey(0), cfg))
+    B, N, D, FF = args.batch, cfg.num_patches, cfg.hidden_size, \
+        cfg.intermediate_size
+    H, Dh = cfg.num_heads, cfg.head_dim
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (B, N, D), dtype)
+
+    per_tok_layer = 4 * 2 * D * D + 2 * 2 * D * FF + 2 * 2 * N * Dh * H
+    tower_flops = B * N * cfg.num_layers * per_tok_layer
+
+    results = {}
+
+    def run(name, **kw):
+        fn = jax.jit(functools.partial(mirror_forward, cfg=cfg, **kw))
+        t = timeit(lambda p, e: fn(p, embeds=e), params, embeds)
+        results[name] = round(t * 1e3, 2)
+        print(json.dumps({"probe": name, "ms": round(t * 1e3, 2),
+                          "fps": round(B / t, 1)}), flush=True)
+        return t
+
+    # 1. real forward (the bench path) vs mirror sanity
+    real = jax.jit(functools.partial(
+        siglip.forward_embeddings, cfg=cfg))
+    t_real = timeit(lambda p, e: real(p, embeds=e), params, embeds)
+    print(json.dumps({"probe": "real_forward_auto",
+                      "ms": round(t_real * 1e3, 2),
+                      "fps": round(B / t_real, 1),
+                      "mfu_pct": round(100 * tower_flops / t_real / 1e12
+                                       / PEAK_BF16_TFLOPS, 1)}),
+          flush=True)
+
+    t_full = run("mirror_full_auto")
+    drift = abs(t_full - t_real) / t_real
+    print(json.dumps({"probe": "mirror_drift_pct",
+                      "value": round(100 * drift, 1)}), flush=True)
+
+    run("mirror_dense_attn", attn_impl="dense")
+    t_noattn = run("mirror_no_attn", use_attn=False)
+    t_noln = run("mirror_no_ln", use_ln=False)
+    t_nogelu = run("mirror_no_gelu", use_gelu=False)
+    t_nomlp = run("mirror_no_mlp", use_mlp=False)
+
+    # 3. matmul floors at constituent shapes
+    M = B * N
+    for name, (m, k_, n) in {
+        "probe_qkv_o": (M, D, D),
+        "probe_fc1": (M, D, FF),
+        "probe_fc2": (M, FF, D),
+    }.items():
+        tf = matmul_probe(m, k_, n, dtype)
+        print(json.dumps({"probe": name, "shape": [m, k_, n],
+                          "tf_s": round(tf, 1),
+                          "mxu_pct": round(100 * tf / PEAK_BF16_TFLOPS,
+                                           1)}), flush=True)
+
+    for impl in ("vit", "dense"):
+        ms, tf = attention_probe(B, N, H, Dh, dtype, impl)
+        print(json.dumps({"probe": f"attn_{impl}", "ms": round(ms, 2),
+                          "useful_tf_s": round(tf, 1)}), flush=True)
+
+    # summary: marginal costs
+    print(json.dumps({
+        "summary_marginal_ms": {
+            "attention": round((t_full - t_noattn) * 1e3, 2),
+            "layernorms": round((t_full - t_noln) * 1e3, 2),
+            "gelu": round((t_full - t_nogelu) * 1e3, 2),
+            "mlp_matmuls": round((t_nogelu - t_nomlp) * 1e3, 2),
+            "full": round(t_full * 1e3, 2),
+        }}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
