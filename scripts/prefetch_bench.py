@@ -47,6 +47,10 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=12)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--freeze_vision", action="store_true")
+    p.add_argument("--attn_impl", default="auto",
+                   help="attention dispatch for the train step "
+                        "(auto routes encoder shapes to the VMEM "
+                        "vit kernel on TPU; dense for the A/B)")
     args = p.parse_args(argv)
 
     import jax
@@ -89,7 +93,8 @@ def main(argv=None):
              else jnp.float32)
     tcfg = train_lib.TrainConfig(
         learning_rate=1e-4, total_steps=1000,
-        freeze_vision=args.freeze_vision, loss_chunk_size=512)
+        freeze_vision=args.freeze_vision, loss_chunk_size=512,
+        attn_impl=args.attn_impl)
     params = streamvln.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     params = mesh_lib.shard_params(params, mesh)
     state = train_lib.create_train_state(params, tcfg)

@@ -80,9 +80,17 @@ def mirror_forward(params, cfg, embeds, *, attn_impl="auto",
     def block(x, p):
         in_dtype = x.dtype
         h = ln(x, p["ln1_s"], p["ln1_b"])
-        q = (jnp.dot(h, p["q_w"]) + p["q_b"]).reshape(B, N, H, Dh)
-        k = (jnp.dot(h, p["k_w"]) + p["k_b"]).reshape(B, N, H, Dh)
-        v = (jnp.dot(h, p["v_w"]) + p["v_b"]).reshape(B, N, H, Dh)
+        if "qkv_w" in p:
+            # --fuse A/B arm: measured 14.6 ms SLOWER than three
+            # separate dots at these shapes (negative result kept
+            # reproducible; see models/fuse.py docstring)
+            qkv = jnp.dot(h, p["qkv_w"]) + p["qkv_b"]
+            q, k, v = (s.reshape(B, N, H, Dh)
+                       for s in jnp.split(qkv, 3, axis=-1))
+        else:
+            q = (jnp.dot(h, p["q_w"]) + p["q_b"]).reshape(B, N, H, Dh)
+            k = (jnp.dot(h, p["k_w"]) + p["k_b"]).reshape(B, N, H, Dh)
+            v = (jnp.dot(h, p["v_w"]) + p["v_b"]).reshape(B, N, H, Dh)
         attn = mha_attention(q, k, v, impl=attn_impl) if use_attn else v
         attn = attn.reshape(B, N, H * Dh)
         x = x + jnp.dot(attn, p["o_w"]) + p["o_b"]
@@ -101,23 +109,23 @@ def mirror_forward(params, cfg, embeds, *, attn_impl="auto",
 
 def matmul_probe(m, k_, n, dtype, reps=16):
     """Achievable TF/s for an [m,k]x[k,n] chain (serial scan keeps the
-    MXU busy on one dependent stream, amortizing dispatch)."""
+    MXU busy on one dependent stream, amortizing tunnel dispatch).
+    The down-projection w2 [n,k] feeds each product back to [m,k], so
+    every output column is consumed (a pad+slice fold lets XLA narrow
+    the dot and fake >peak rates). Reported rate counts BOTH dots."""
     a = jnp.zeros((m, k_), dtype)
     ws = jnp.zeros((reps, k_, n), dtype)
+    w2 = jnp.zeros((n, k_), dtype)
 
     @jax.jit
-    def chain(a, ws):
+    def chain(a, ws, w2):
         def body(c, w):
-            o = jnp.dot(c, w)
-            # fold back to [m,k] so the chain composes for any n
-            return jax.lax.dynamic_slice(
-                jnp.pad(o, ((0, 0), (0, max(0, k_ - n)))),
-                (0, 0), (m, k_)).astype(a.dtype), ()
+            return jnp.dot(jnp.dot(c, w), w2).astype(a.dtype), ()
         c, _ = jax.lax.scan(body, a, ws)
         return c
 
-    t = timeit(chain, a, ws, n=4)
-    return 2 * m * k_ * n * reps / t / 1e12  # TF/s
+    t = timeit(chain, a, ws, w2, n=4)
+    return 2 * 2 * m * k_ * n * reps / t / 1e12  # TF/s (up + down dot)
 
 
 def attention_probe(B, S, H, Dh, dtype, impl):
@@ -133,15 +141,29 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--layers", type=int, default=0,
                     help="override layer count (0 = config)")
+    ap.add_argument("--fuse", action="store_true",
+                    help="apply fuse_projections (the engine default)")
     args = ap.parse_args()
 
     cfg = configs.siglip_so400m()
     if args.layers:
         cfg = dataclasses.replace(cfg, num_layers=args.layers)
     dtype = jnp.bfloat16
+    # bf16 params: the engine stores the vision tower in the compute
+    # dtype (f32 params would PROMOTE every dot to f32 and poison the
+    # whole decomposition)
     params = jax.tree.map(
-        lambda x: x.astype(jnp.float32),
+        lambda x: x.astype(dtype),
         siglip.init(jax.random.PRNGKey(0), cfg))
+    if args.fuse:
+        # local concat (production fuse_projections deliberately does
+        # NOT fuse the vision tower — this arm measures why)
+        layers = dict(params["layers"])
+        layers["qkv_w"] = jnp.concatenate(
+            [layers.pop(n) for n in ("q_w", "k_w", "v_w")], axis=-1)
+        layers["qkv_b"] = jnp.concatenate(
+            [layers.pop(n) for n in ("q_b", "k_b", "v_b")], axis=-1)
+        params = dict(params, layers=layers)
     B, N, D, FF = args.batch, cfg.num_patches, cfg.hidden_size, \
         cfg.intermediate_size
     H, Dh = cfg.num_heads, cfg.head_dim
@@ -185,9 +207,8 @@ def main():
     # 3. matmul floors at constituent shapes
     M = B * N
     for name, (m, k_, n) in {
-        "probe_qkv_o": (M, D, D),
-        "probe_fc1": (M, D, FF),
-        "probe_fc2": (M, FF, D),
+        "probe_qkv_o_pair": (M, D, D),
+        "probe_mlp_pair": (M, D, FF),
     }.items():
         tf = matmul_probe(m, k_, n, dtype)
         print(json.dumps({"probe": name, "shape": [m, k_, n],

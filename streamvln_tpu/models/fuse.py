@@ -74,7 +74,16 @@ def _concat_group(layers: Dict, names, out_name: str) -> bool:
 def fuse_projections(params: Dict) -> Dict:
     """Return params with per-layer q/k/v fused into `qkv_w` and
     gate/up into `gu_w` where possible (see module docstring). The
-    input tree is not mutated; unfusable groups pass through."""
+    input tree is not mutated; unfusable groups pass through.
+
+    The VISION tower deliberately stays unfused: measured on v5e-1
+    (scripts/vision_profile.py, batch 32) fusing the encoder's q/k/v
+    into one [1152, 3456] dot made the tower 14.6 ms SLOWER per encode
+    (174.3 -> 189.0 ms) — at [23328, 1152] the dots are compute-bound,
+    not launch-bound, and the fused variant materializes a [B, S, 3D]
+    intermediate (+split copies) that three separate dots with fused
+    bias epilogues never write. Fusion pays only at decode shapes,
+    where the per-dot issue cost dwarfs the bytes."""
     out = dict(params)
     llm = dict(out.get("llm", out))
     layers = dict(llm["layers"])

@@ -127,6 +127,10 @@ def forward_embeddings(params: Params, cfg: SigLIPConfig,
     def block(x, p):
         in_dtype = x.dtype
         h = layer_norm(x, p["ln1_s"], p["ln1_b"], cfg.layer_norm_eps)
+        # q/k/v stay three separate dots: fusing them into one
+        # [D, 3D] matmul measured SLOWER at encoder shapes (see
+        # models/fuse.py docstring — the fused variant materializes
+        # the [B, S, 3D] intermediate; these dots are compute-bound)
         q = (jnp.dot(h, p["q_w"]) + p["q_b"]).reshape(B, N, H, Dh)
         k = (jnp.dot(h, p["k_w"]) + p["k_b"]).reshape(B, N, H, Dh)
         v = (jnp.dot(h, p["v_w"]) + p["v_b"]).reshape(B, N, H, Dh)

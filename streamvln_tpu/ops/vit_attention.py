@@ -35,8 +35,17 @@ NEG_INF = -1e30
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_real: int):
-    q = q_ref[0, 0].astype(jnp.float32)           # [Sp, Dp]
-    k = k_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]                               # [Sp, Dp]
+    k = k_ref[0, 0]
+    # bf16 inputs stay bf16 into the dot: the MXU multiplies bf16
+    # pairs into an f32 accumulator natively, so bf16 x bf16 with
+    # preferred f32 is BIT-IDENTICAL to first upcasting the same
+    # bf16 values to f32 — but one MXU pass instead of the multi-pass
+    # f32 product. f32 inputs keep full-precision math (parity tests).
+    lowp = q.dtype == jnp.bfloat16
+    if not lowp:
+        q = q.astype(jnp.float32)
+        k = k.astype(jnp.float32)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     # mask padded keys (zero-padded D columns already contribute 0)
@@ -44,11 +53,22 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_real: int):
     s = jnp.where(kidx < s_real, s, NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)
-    v = v_ref[0, 0].astype(jnp.float32)
-    o_ref[0, 0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # deferred normalization: scale the [Sp, Dp] output by the
+    # reciprocal row sum instead of dividing the [Sp, Sp] probability
+    # matrix — Sp/Dp x less VPU divide traffic, same value up to f32
+    # rounding.
+    r = 1.0 / jnp.sum(p, axis=1, keepdims=True)   # [Sp, 1]
+    v = v_ref[0, 0]
+    if lowp:
+        # max-subtracted p lies in [0, 1] — a comfortable bf16 range;
+        # the PV product accumulates in f32 on the MXU and the output
+        # rounds to bf16 regardless (flash-attn semantics).
+        p = p.astype(jnp.bfloat16)
+    else:
+        v = v.astype(jnp.float32)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (o * r).astype(o_ref.dtype)
 
 
 def _reference(q, k, v, scale):

@@ -85,3 +85,4 @@ def test_fused_act_int8_matches_unfused():
     ref = _fwd(params, cfg)
     out = _fwd(fused, cfg)
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+

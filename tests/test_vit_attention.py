@@ -25,6 +25,22 @@ def test_vit_attention_matches_dense(S, D):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_vit_attention_bf16_lowp_path():
+    """bf16 inputs take the native-MXU path (bf16 multiplies, f32
+    accumulate, deferred normalization, bf16 PV) — flash-attn
+    semantics; error vs the f32 dense reference is bf16 rounding."""
+    rng = np.random.RandomState(3)
+    B, S, H, D = 2, 129, 3, 72
+    q, k, v = (jnp.asarray(rng.randn(B, S, H, D).astype(np.float32),
+                           jnp.bfloat16) for _ in range(3))
+    out = vit_attention(q, k, v, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = dense_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                          v.astype(jnp.float32))
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max()
+    assert err / np.abs(np.asarray(ref)).max() < 2e-2
+
+
 def test_vit_attention_grad_matches_dense():
     """Regression: the VMEM kernel had no VJP — jax.grad through the
     encoder dispatch raised 'Linearization failed' and broke TPU
