@@ -130,6 +130,13 @@ def main():
         }
     else:
         params = streamvln.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    if os.environ.get("BENCH_VISION_INT8") == "1":
+        # int8 x int8 tower matmuls (speed lever: the encoder is
+        # compute-bound — docs/vision_roofline.md); per-token dynamic
+        # activation quant, beyond-reference capability
+        from streamvln_tpu.models import quant as _quant
+        params = dict(params,
+                      vision=_quant.quantize_vision(params["vision"]))
     # fuse qkv/gate-up ONCE here and drop the unfused tree: fusing
     # inside each engine while this scope kept `params` alive would
     # leave both copies resident (~4 GB dead weight at 7B)

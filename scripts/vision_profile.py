@@ -35,6 +35,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import jax
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -143,6 +153,14 @@ def main():
                     help="override layer count (0 = config)")
     ap.add_argument("--fuse", action="store_true",
                     help="apply fuse_projections (the engine default)")
+    ap.add_argument("--int8", action="store_true",
+                    help="quantize the tower (quant.quantize_vision): "
+                         "int8 x int8 MXU dots, 2x the bf16 peak")
+    ap.add_argument("--grad", action="store_true",
+                    help="also time tower fwd+bwd (training effect of "
+                         "the vit kernel: auto vs dense dispatch; the "
+                         "kernel's VJP recomputes through dense math, "
+                         "so only the forward differs)")
     args = ap.parse_args()
 
     cfg = configs.siglip_so400m()
@@ -155,6 +173,9 @@ def main():
     params = jax.tree.map(
         lambda x: x.astype(dtype),
         siglip.init(jax.random.PRNGKey(0), cfg))
+    if args.int8:
+        from streamvln_tpu.models.quant import quantize_vision
+        params = quantize_vision(params)
     if args.fuse:
         # local concat (production fuse_projections deliberately does
         # NOT fuse the vision tower — this arm measures why)
@@ -193,6 +214,11 @@ def main():
                                        / PEAK_BF16_TFLOPS, 1)}),
           flush=True)
 
+    if args.int8:
+        # the mirror/ablation decomposition targets the float tower;
+        # the int8 arm reports the real forward only
+        return
+
     t_full = run("mirror_full_auto")
     drift = abs(t_full - t_real) / t_real
     print(json.dumps({"probe": "mirror_drift_pct",
@@ -220,6 +246,22 @@ def main():
         ms, tf = attention_probe(B, N, H, Dh, dtype, impl)
         print(json.dumps({"probe": f"attn_{impl}", "ms": round(ms, 2),
                           "useful_tf_s": round(tf, 1)}), flush=True)
+
+    if args.grad:
+        for gb in (8, args.batch):
+            ge = jax.random.normal(jax.random.PRNGKey(2), (gb, N, D),
+                                   dtype)
+            for impl in ("auto", "dense"):
+                # remat=True is the training configuration (the full
+                # tower's residuals OOM a 16 GB chip without it)
+                fn = jax.jit(jax.grad(
+                    lambda p, e, _i=impl: jnp.sum(
+                        siglip.forward_embeddings(
+                            p, cfg, e, attn_impl=_i,
+                            remat=True).astype(jnp.float32) ** 2)))
+                t = timeit(fn, params, ge, n=4)
+                print(json.dumps({"probe": f"grad_{impl}_b{gb}",
+                                  "ms": round(t * 1e3, 2)}), flush=True)
 
     # summary: marginal costs
     print(json.dumps({

@@ -23,7 +23,7 @@ def build_agent(model_path: Optional[str], model_size: str = "7b",
                 cache_capacity: int = 4096, max_new_tokens: int = 16,
                 n_envs: int = 1, lora_adapters: Optional[str] = None,
                 spec_lookup: int = 6, bits: int = 16,
-                kv_int8: bool = False):
+                kv_int8: bool = False, vision_int8: bool = False):
     import jax
     import jax.numpy as jnp
     from streamvln_tpu import configs
@@ -64,9 +64,16 @@ def build_agent(model_path: Optional[str], model_size: str = "7b",
             # kernel (ops/int4_matmul.py) at 0.5 B/weight.
             from streamvln_tpu.models import quant
             params = quant.quantize_llm(params, bits=bits)
+        if vision_int8:
+            # int8 x int8 tower matmuls (compute-bound encoder ->
+            # speed lever; beyond-reference: the reference serves its
+            # tower bf16/f16 only)
+            from streamvln_tpu.models import quant
+            params = dict(params,
+                          vision=quant.quantize_vision(params["vision"]))
         return params
 
-    if (has_ckpt or lora_adapters or bits in (4, 8)) \
+    if (has_ckpt or lora_adapters or bits in (4, 8) or vision_int8) \
             and jax.default_backend() != "cpu":
         # Stage on the host CPU backend, place only the FINAL tree: a
         # real 7B checkpoint arrives bf16 (15.2 GB — never fits a
@@ -157,6 +164,10 @@ def main(argv=None):
                    help="int8 KV cache values + per-token scales: half "
                         "the resident cache HBM (capacity lever for "
                         "long contexts / 14B-class at batch)")
+    p.add_argument("--vision_int8", action="store_true", default=False,
+                   help="int8 x int8 SigLIP tower matmuls (per-token "
+                        "dynamic activation quant; the encoder is "
+                        "compute-bound so int8 is a speed lever)")
     p.add_argument("--spec_lookup", type=int, default=6,
                    help="prompt-lookup speculative decode: verify this "
                         "many drafted tokens per decode forward "
@@ -170,7 +181,7 @@ def main(argv=None):
         args.num_future_steps, args.num_history, args.model_max_length,
         n_envs=args.n_envs, lora_adapters=args.lora_adapters,
         spec_lookup=args.spec_lookup, bits=args.bits,
-        kv_int8=args.kv_int8)
+        kv_int8=args.kv_int8, vision_int8=args.vision_int8)
 
     if args.n_envs > 1:
         import functools

@@ -195,6 +195,35 @@ def quantize_llm(params: dict,
     return out
 
 
+VISION_QUANT_TARGETS = ("q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w")
+
+
+def quantize_vision(vision: dict,
+                    targets: Sequence[str] = VISION_QUANT_TARGETS
+                    ) -> dict:
+    """Quantize the SigLIP tower's layer-stack projections to int8
+    (per-output-channel). siglip.forward_embeddings dispatches on the
+    `<name>_scale` satellites and runs them as int8 x int8 MXU dots
+    with per-token dynamic activation quant (int8_dynamic_matmul) —
+    the encoder is COMPUTE-bound (docs/vision_roofline.md), so unlike
+    the LLM's weight-only int8 (a capacity/bandwidth lever), vision
+    int8 is a speed lever: the int8 MXU runs 2x the bf16 peak.
+
+    patch_w, pos_embed, biases, and layernorms stay float (patch embed
+    is <0.2% of the FLOPs, and the fused-resize path folds the
+    normalize affine into patch_w — models/../fused_patch_embed.py).
+    Beyond-reference capability: the reference serves its tower in
+    bf16/f16 only (llava siglip_encoder.py)."""
+    out = dict(vision)
+    layers = dict(out["layers"])
+    for name in targets:
+        q, scale = quantize_weight(layers[name])
+        layers[name] = q
+        layers[name + "_scale"] = scale
+    out["layers"] = layers
+    return out
+
+
 def init_quantized_llm(rng: jax.Array, cfg, compute_dtype=jnp.bfloat16,
                        quantize_embed: bool = True,
                        bits: int = 8) -> dict:

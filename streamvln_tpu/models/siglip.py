@@ -124,6 +124,18 @@ def forward_embeddings(params: Params, cfg: SigLIPConfig,
     H, Dh = cfg.num_heads, cfg.head_dim
     N = cfg.num_patches
 
+    def dense(h, p, name):
+        """One tower projection. int8-quantized towers (models/quant.py
+        quantize_vision) carry `<name>_w_scale` satellites and run as
+        int8 x int8 MXU dots with per-token dynamic activation quant —
+        2x the bf16 MXU rate on the compute-bound encoder."""
+        if name + "_w_scale" in p:
+            from streamvln_tpu.models.quant import int8_dynamic_matmul
+            out = int8_dynamic_matmul(h, p[name + "_w"],
+                                      p[name + "_w_scale"])
+            return out.astype(h.dtype) + p[name + "_b"]
+        return jnp.dot(h, p[name + "_w"]) + p[name + "_b"]
+
     def block(x, p):
         in_dtype = x.dtype
         h = layer_norm(x, p["ln1_s"], p["ln1_b"], cfg.layer_norm_eps)
@@ -131,16 +143,15 @@ def forward_embeddings(params: Params, cfg: SigLIPConfig,
         # [D, 3D] matmul measured SLOWER at encoder shapes (see
         # models/fuse.py docstring — the fused variant materializes
         # the [B, S, 3D] intermediate; these dots are compute-bound)
-        q = (jnp.dot(h, p["q_w"]) + p["q_b"]).reshape(B, N, H, Dh)
-        k = (jnp.dot(h, p["k_w"]) + p["k_b"]).reshape(B, N, H, Dh)
-        v = (jnp.dot(h, p["v_w"]) + p["v_b"]).reshape(B, N, H, Dh)
+        q = dense(h, p, "q").reshape(B, N, H, Dh)
+        k = dense(h, p, "k").reshape(B, N, H, Dh)
+        v = dense(h, p, "v").reshape(B, N, H, Dh)
         attn = mha_attention(q, k, v, impl=attn_impl)
         attn = attn.reshape(B, N, H * Dh)
-        x = x + jnp.dot(attn, p["o_w"]) + p["o_b"]
+        x = x + dense(attn, p, "o")
         h = layer_norm(x, p["ln2_s"], p["ln2_b"], cfg.layer_norm_eps)
-        h = jnp.dot(h, p["fc1_w"]) + p["fc1_b"]
-        h = jax.nn.gelu(h, approximate=True)     # gelu_pytorch_tanh
-        x = x + jnp.dot(h, p["fc2_w"]) + p["fc2_b"]
+        h = jax.nn.gelu(dense(h, p, "fc1"), approximate=True)
+        x = x + dense(h, p, "fc2")
         # mixed precision (bf16 activations over f32 params) must not
         # drift the scan carry dtype
         return x.astype(in_dtype), None

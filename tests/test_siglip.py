@@ -63,3 +63,26 @@ def test_encode_frames_shapes():
     imgs = jnp.zeros((B, V, cfg.vision.image_size, cfg.vision.image_size, 3))
     feats = streamvln.encode_frames(params, cfg, imgs)
     assert feats.shape == (B, V * cfg.tokens_per_frame, cfg.llm.hidden_size)
+
+
+def test_vision_int8_close_to_float():
+    """int8 x int8 tower (quant.quantize_vision + the block's _scale
+    dispatch) tracks the float forward: per-output-channel weight quant
+    + per-token dynamic activation quant keeps relative error at the
+    few-percent level through a deep encoder stack."""
+    from streamvln_tpu.models import quant
+
+    cfg = tiny_vision()
+    params = siglip.init(jax.random.PRNGKey(5), cfg)
+    imgs = jax.random.uniform(jax.random.PRNGKey(6),
+                              (2, cfg.image_size, cfg.image_size, 3))
+    ref = np.asarray(siglip.forward(params, cfg, imgs))
+    qparams = quant.quantize_vision(params)
+    assert qparams["layers"]["q_w"].dtype == jnp.int8
+    out = np.asarray(siglip.forward(qparams, cfg, imgs))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
+    # cosine similarity per token stays ~1
+    cos = (out * ref).sum(-1) / (
+        np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1))
+    assert cos.min() > 0.999, cos.min()
