@@ -153,9 +153,24 @@ def main():
         from streamvln_tpu.data.tokenizer import load_tokenizer
         fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "tests", "fixtures", "bpe_tokenizer")
-        tok = load_tokenizer(os.environ.get("BENCH_TOKENIZER_PATH",
-                                            fixture))
+        try:
+            tok = load_tokenizer(os.environ.get("BENCH_TOKENIZER_PATH",
+                                                fixture))
+        except Exception as e:   # e.g. transformers not installed
+            print(f"bpe tokenizer unavailable ({e}); "
+                  "falling back to byte", file=sys.stderr)
+            tok = ByteTokenizer()
         if isinstance(tok, ByteTokenizer):   # fixture missing
+            tok_kind = "byte"
+        elif tok.im_end_id >= cfg.llm.vocab_size:
+            # Qwen2-vocab ids don't fit a small-vocab bench model
+            # (tiny: 512) — the embed gather would clamp and the stop
+            # id could never be emitted, silently changing what
+            # tokens_per_call means. Keep the byte tokenizer there.
+            print(f"bpe ids (im_end={tok.im_end_id}) exceed model "
+                  f"vocab {cfg.llm.vocab_size}; falling back to byte",
+                  file=sys.stderr)
+            tok = ByteTokenizer()
             tok_kind = "byte"
     else:
         tok = ByteTokenizer()
@@ -388,7 +403,10 @@ def main():
         """
         # v5e peaks (spec sheet; docs/decode_roofline.md uses the same)
         peak_tflops = 394.0 if cfg.llm.act_int8 else 197.0
-        peak_vision_tflops = 197.0   # vision tower runs bf16 matmuls
+        # int8 x int8 tower dots run at the doubled MXU peak — MFU must
+        # be reported against the peak of the datapath actually used
+        peak_vision_tflops = 394.0 \
+            if os.environ.get("BENCH_VISION_INT8") == "1" else 197.0
         peak_hbm_gbps = 819.0
 
         def sync(x):

@@ -131,7 +131,9 @@ def main(argv=None):
     cached = make_batch(idxs[0])
     t0 = time.perf_counter()
     for i in range(args.steps):
-        jax.block_until_ready(make_batch(idxs[i % len(idxs)]))
+        # tunnel-safe sync (bare block_until_ready can return before a
+        # tunneled upload is actually materialized — see bench.py)
+        sync(make_batch(idxs[i % len(idxs)]))
     host_ms = (time.perf_counter() - t0) / args.steps * 1e3
 
     # --- compute-only (repeated step on the cached batch) --------------

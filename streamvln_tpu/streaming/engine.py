@@ -167,12 +167,7 @@ def _prefill_decode(
         # a capacity-full idle row's clamped write would overwrite
         # live shadow slots and silently degrade later acceptance).
         shadow = jnp.where(is_vision, jnp.int32(-1), token_ids)
-
-        def _shadow_wr(row, s, off, act):
-            cur = jax.lax.dynamic_slice(row, (off,), (s.shape[0],))
-            return jax.lax.dynamic_update_slice(
-                row, jnp.where(act, s, cur), (off,))
-        ids_buf = jax.vmap(_shadow_wr)(ids_buf, shadow, offsets, active)
+        ids_buf = _shadow_write(ids_buf, shadow, offsets, active)
     if sample_params is not None:
         temp, top_p, key = sample_params
         out, n_out, cache, ids_sampled = _sample_loop(
@@ -211,6 +206,23 @@ def _scratch_size(n_tokens: int) -> int:
     """Sublane-aligned scratch capacity for a decode loop that can
     write at most n_tokens KV entries (see qwen2.make_scratch)."""
     return max(8, -(-n_tokens // 8) * 8)
+
+
+def _shadow_write(ids_buf, vals, offsets, active):
+    """Masked write into the token-id shadow of the KV slots: row b
+    gets vals[b] written at offsets[b]; rows with active[b]=False write
+    back what they read (exact self-copy). The mask matters because
+    dynamic_update_slice CLAMPS the start index — a capacity-full idle
+    row's clamped write would overwrite its live trailing shadow slots
+    with dummy ids and silently degrade later speculative acceptance
+    (same contract as the KV write_mask; see qwen2._append_stack).
+
+    vals is [B, W] (or [B] for W=1 callers who pass vals[:, None])."""
+    def wr(row, s, off, act):
+        cur = jax.lax.dynamic_slice(row, (off,), (s.shape[0],))
+        return jax.lax.dynamic_update_slice(
+            row, jnp.where(act, s, cur), (off,))
+    return jax.vmap(wr)(ids_buf, vals, offsets, active)
 
 
 def _greedy_loop(params, cfg, cache, last_logits, max_new: int,
@@ -341,9 +353,11 @@ def _sample_loop(params, cfg, cache, last_logits, max_new: int,
         tot_len = cache.length + scratch.length
         pos = tot_len[:, None]
         if track:
-            ids_buf = jax.vmap(
-                lambda row, t, off: jax.lax.dynamic_update_slice(
-                    row, t[None], (off,)))(ids_buf, cur, tot_len)
+            # done rows self-copy: a forced-done capacity-full row's
+            # clamped write would clobber live shadow slots every
+            # iteration (same hazard as the pre-loop pending write)
+            ids_buf = _shadow_write(ids_buf, cur[:, None], tot_len,
+                                    ~done)
         logits, new_scratch = qwen2.forward(
             params["llm"], cfg.llm, emb, pos, cache=cache,
             scratch=scratch, attn_impl=attn_impl)
@@ -482,10 +496,11 @@ def _spec_loop(params, cfg, cache, ids_buf, last_logits, p0_init,
                                                       mode="drop")
 
         # roll back rejected KV: keep exactly `emit` new entries
-        # (c0 + the accepted draft prefix); record their token ids
-        ids_buf = jax.vmap(
-            lambda row, f, off: jax.lax.dynamic_update_slice(
-                row, f, (off,)))(ids_buf, fed, tot_len)
+        # (c0 + the accepted draft prefix); record their token ids.
+        # Done rows self-copy — their frozen tot_len can sit clamped
+        # at a full row where the k+1-wide write would overwrite live
+        # trailing shadow slots with dummy drafts every iteration
+        ids_buf = _shadow_write(ids_buf, fed, tot_len, ~done)
         new_scratch = KVCache(new_scratch.k, new_scratch.v,
                               scratch.length + emit,
                               new_scratch.k_scale, new_scratch.v_scale)
@@ -537,15 +552,8 @@ def _decode_continue(params, cfg: StreamVLNConfig, cache: KVCache,
     would be cast to int8)."""
     saved_length = cache.length
     if spec_k:
-        # inactive rows self-copy: a capacity-full idle row's clamped
-        # write would overwrite its live shadow slot cap-1 with a dummy
-        # pending id (silent speculative-acceptance degradation)
-        def _shadow_wr(row, t, off, act):
-            cur = jax.lax.dynamic_slice(row, (off,), (1,))
-            return jax.lax.dynamic_update_slice(
-                row, jnp.where(act, t[None], cur), (off,))
-        ids_buf = jax.vmap(_shadow_wr)(ids_buf, pending, cache.length,
-                                       active)
+        ids_buf = _shadow_write(ids_buf, pending[:, None], cache.length,
+                                active)
     emb = qwen2.embed_tokens(params["llm"], pending[:, None],
                              cfg.llm).astype(compute_dtype)
     pos = cache.length[:, None]

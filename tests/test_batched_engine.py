@@ -229,3 +229,39 @@ def test_async_validation_failure_leaves_engine_reusable():
     # and env 1 was never affected
     toks1 = eng.generate(1, frame, t0, step_id=0)
     assert len(toks1) >= 1
+
+
+def test_capacity_full_idle_row_shadow_survives_spec_loop():
+    """Regression: a capacity-full IDLE row's token-id shadow must come
+    through another env's speculative call bit-identical. The spec
+    while-loop writes [cur, drafts] at each row's (frozen, clamped)
+    offset every iteration — unmasked, that overwrites the idle row's
+    live trailing shadow slots with dummy ids and silently degrades its
+    later speculative acceptance (advisor r4 + review r5 finding)."""
+    cfg = tiny_streamvln()
+    params = streamvln.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    engine = StreamingEngine(
+        params, cfg, n_envs=2, stop_ids=(tok.im_end_id,),
+        compute_dtype=jnp.float32, max_new_tokens=4,
+        cache_capacity=1024, buckets=(512, 768), spec_lookup=3)
+    rng = np.random.RandomState(4)
+    frame = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    t0 = _turn(tok, chatml.observation_prompt(None, "hello"), True)
+    engine.generate_batch([(e, frame, t0, 0, ()) for e in range(2)])
+
+    # force env 1 into the capacity-full state (cache length at cap,
+    # shadow fully live) without replaying a 1024-token dialogue
+    cap = engine.cache.capacity
+    marker = np.arange(cap, dtype=np.int32) % 7 + 100
+    engine.ids_buf = engine.ids_buf.at[1].set(jnp.asarray(marker))
+    engine.cache = type(engine.cache)(
+        engine.cache.k, engine.cache.v,
+        engine.cache.length.at[1].set(cap),
+        engine.cache.k_scale, engine.cache.v_scale)
+
+    t1 = _turn(tok, chatml.observation_prompt(None, ""), False)
+    engine.generate_batch([(0, frame, t1, 1, ())])   # env 1 idle
+
+    np.testing.assert_array_equal(np.asarray(engine.ids_buf[1]), marker)
+    assert int(engine.cache.length[1]) == cap
